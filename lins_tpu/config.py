@@ -1,0 +1,223 @@
+"""Typed, frozen configuration for the TPU-native LINS engine.
+
+Replaces the reference's global-variable config system
+(lins/include/parameters.h:104-153, lins/src/lib/parameters.cpp:86-132,
+lins/config/exp_config/exp_port.yaml) with a single hashable dataclass that is
+threaded explicitly through jit'd functions (it participates as a static
+argument, so every numeric below is a compile-time constant for XLA).
+
+Sensor presets replace the dual compile-time constant sets in parameters.h:62-101
+and utility.h:49-93 (VLP-16 default + OS1-64 alternate).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Tuple
+
+
+def _t3(x) -> Tuple[float, float, float]:
+    return (float(x[0]), float(x[1]), float(x[2]))
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    # --- sensor geometry (exp_port.yaml:9-11; parameters.h:82-85) ---
+    line_num: int = 16               # vertical rings
+    scan_num: int = 1800             # azimuth columns
+    scan_period: float = 0.1         # seconds per sweep
+    ang_res_x: float = 0.2           # deg, azimuth resolution
+    ang_res_y: float = 2.0           # deg, vertical resolution
+    ang_bottom: float = 15.0 + 0.1   # deg, lowest beam elevation magnitude
+    ground_scan_ind: int = 5         # rings considered for ground extraction
+    sensor_mount_angle: float = 0.0  # deg
+
+    # --- segmentation (parameters.h:88-92) ---
+    segment_theta: float = 1.0472        # rad, region-growing angle threshold
+    segment_valid_point_num: int = 5
+    segment_valid_line_num: int = 3
+
+    # --- feature extraction (exp_port.yaml:12-13; parameters.h:93-95) ---
+    edge_threshold: float = 0.5
+    surf_threshold: float = 0.5
+    edge_feature_num: int = 2        # sharp corners per sector
+    edge_less_feature_num: int = 20  # less-sharp corners per sector
+    surf_feature_num: int = 4        # flat surf per sector
+    sections_total: int = 6          # sectors per ring
+    surf_leaf_size: float = 0.2      # less-flat voxel filter (StateEstimator.hpp:189)
+
+    # --- odometry / IESKF (exp_port.yaml:14-20) ---
+    nearest_feature_search_sq_dist: float = 25.0
+    icp_freq: int = 1
+    num_iter: int = 30
+    lidar_scale: float = 1.0
+    lidar_std: float = 0.01
+
+    # --- IMU noise (exp_port.yaml:29-32; scaled in KalmanFilter.hpp:263-266) ---
+    acc_n: float = 70000.0   # * ug
+    gyr_n: float = 0.1       # * dph
+    acc_w: float = 500.0     # * ugpsHz
+    gyr_w: float = 0.05      # * dpsh
+
+    # --- initial stds (exp_port.yaml:34-62) ---
+    init_pos_std: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    init_vel_std: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    init_att_std: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # deg
+    init_acc_std: Tuple[float, float, float] = (0.01, 0.01, 0.02)
+    init_gyr_std: Tuple[float, float, float] = (0.002, 0.002, 0.002)
+
+    # --- initial biases / extrinsics (exp_port.yaml:64-90) ---
+    init_ba: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    init_bw: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    imu_lidar_extrinsic_angle: float = 0.0   # deg, yaw lidar->vehicle
+    imu_misalign_angle: float = 0.0          # deg, yaw imu->vehicle
+
+    # --- mapping (parameters.h:80-101) ---
+    mapping_process_interval: float = 0.3
+    surrounding_keyframe_search_radius: float = 50.0
+    surrounding_keyframe_search_num: int = 50
+    history_keyframe_search_radius: float = 5.0
+    history_keyframe_search_num: int = 25
+    history_keyframe_fitness_score: float = 0.3
+    loop_closure_enabled: bool = True
+    keyframe_gate_meters: float = 0.3        # lidar_mapping_node.cpp:1660-1667
+    map_corner_leaf: float = 0.2             # lidar_mapping_node.cpp:283-291
+    map_surf_leaf: float = 0.4
+    map_outlier_leaf: float = 0.4
+    scan2map_iters: int = 10                 # lidar_mapping_node.cpp:1640
+
+    # --- fixed capacities for static TPU shapes (build-specific) ---
+    max_imu_per_scan: int = 64       # IMU samples padded per scan interval (400Hz * 0.1s + slack)
+    max_sharp: int = 192             # 16 rings * 6 sectors * 2
+    max_less_sharp: int = 2048       # >= 16 * 6 * 20
+    max_flat: int = 512              # >= 16 * 6 * 4
+    max_less_flat: int = 6144        # voxel-downsampled ground/unlabeled points
+    max_outlier: int = 4096
+    max_points: int = 60000          # raw cloud capacity
+    max_keyframes: int = 2048        # mapping backend capacity
+    max_map_corner: int = 32768      # assembled local corner map capacity
+    max_map_surf: int = 65536        # assembled local surf map capacity
+
+    # --- physical constants (parameters.h:63-71) ---
+    gravity: float = 9.81
+
+    # convenience -----------------------------------------------------------
+    @property
+    def grid_size(self) -> int:
+        return self.line_num * self.scan_num
+
+    @property
+    def segment_alpha_x(self) -> float:
+        return self.ang_res_x * math.pi / 180.0
+
+    @property
+    def segment_alpha_y(self) -> float:
+        return self.ang_res_y * math.pi / 180.0
+
+    # scaled continuous-time noise densities (KalmanFilter.hpp:263-266)
+    @property
+    def acc_noise(self) -> float:
+        ug = self.gravity / 1e6
+        return (self.acc_n * ug) ** 2
+
+    @property
+    def gyr_noise(self) -> float:
+        dph = (math.pi / 180.0) / 3600.0
+        return (self.gyr_n * dph) ** 2
+
+    @property
+    def acc_walk(self) -> float:
+        ug = self.gravity / 1e6
+        return (self.acc_w * ug) ** 2
+
+    @property
+    def gyr_walk(self) -> float:
+        dpsh = (math.pi / 180.0) / math.sqrt(3600.0)
+        return (self.gyr_w * dpsh) ** 2
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+    # serialisation ---------------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SlamConfig":
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            ftype = fields[k].type
+            try:
+                if isinstance(v, (list, tuple)):
+                    v = tuple(float(x) for x in v)
+                elif ftype in ("int", int):
+                    v = int(v)
+                elif ftype in ("float", float):
+                    v = float(v)
+                elif ftype in ("bool", bool):
+                    v = bool(v)
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"config field {k!r}: cannot coerce {v!r}") from e
+            kw[k] = v
+        return cls(**kw)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "SlamConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        return cls.from_dict(_normalize_reference_yaml(raw))
+
+    @classmethod
+    def from_json(cls, path: str) -> "SlamConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def save_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+
+def _normalize_reference_yaml(raw: dict) -> dict:
+    """Accept both our field names and the reference exp_port.yaml schema."""
+    out = {}
+    alias = {
+        "max_lidar_nums": "max_points",
+    }
+    for k, v in raw.items():
+        k = alias.get(k, k)
+        if isinstance(v, dict) and "data" in v:  # opencv-matrix blobs
+            v = v["data"]
+        out[k] = v
+    return out
+
+
+# --- sensor presets (replace utility.h's #ifdef dual constants) ------------
+
+VLP16 = SlamConfig()
+
+OS1_64 = SlamConfig(
+    line_num=64,
+    scan_num=1024,
+    ang_res_x=360.0 / 1024,
+    ang_res_y=33.2 / 63,
+    ang_bottom=16.6 + 0.1,
+    ground_scan_ind=15,
+)
+
+HDL64 = SlamConfig(  # KITTI-style HDL-64E
+    line_num=64,
+    scan_num=1800,
+    ang_res_x=0.2,
+    ang_res_y=26.9 / 63,
+    ang_bottom=24.9,
+    ground_scan_ind=50,
+    max_points=150000,
+)
+
+PRESETS = {"vlp16": VLP16, "os1_64": OS1_64, "hdl64": HDL64}
