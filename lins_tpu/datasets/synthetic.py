@@ -41,18 +41,27 @@ def default_world() -> World:
         (-10.0, 8.0, 40.0, 8.0, 4.0),     # left wall
         (40.0, -8.0, 40.0, 8.0, 4.0),     # far wall
         (-10.0, -8.0, -10.0, 8.0, 4.0),   # rear wall
-        (15.0, -8.0, 15.0, -3.0, 3.0),    # jutting partition (corner edges)
-        (25.0, 8.0, 25.0, 2.0, 3.0),      # jutting partition
+        # jutting partitions: their free ends are true fixed edge features
+        (6.0, -8.0, 6.0, -5.5, 3.0),
+        (12.0, 8.0, 12.0, 5.0, 3.0),
+        (15.0, -8.0, 15.0, -3.0, 3.0),
+        (20.0, 8.0, 20.0, 4.5, 3.0),
+        (25.0, -8.0, 25.0, -4.0, 3.0),
+        (30.0, 8.0, 30.0, 3.0, 3.0),
+        (35.0, -8.0, 35.0, -5.0, 3.0),
+        (2.0, 8.0, 2.0, 5.5, 3.0),
     )
+    # thin poles: small radius keeps the viewpoint-dependent silhouette shift
+    # (a cylinder artifact) well below the lidar noise floor
     poles = (
-        (5.0, -4.0, 0.15, 5.0),
-        (8.0, 3.0, 0.2, 5.0),
-        (18.0, 2.0, 0.15, 5.0),
-        (22.0, -5.0, 0.2, 5.0),
-        (30.0, 0.0, 0.25, 5.0),
-        (12.0, 6.0, 0.15, 5.0),
-        (34.0, -6.0, 0.2, 5.0),
-        (2.0, 6.5, 0.18, 5.0),
+        (5.0, -4.0, 0.06, 5.0),
+        (8.0, 3.0, 0.06, 5.0),
+        (18.0, 2.0, 0.05, 5.0),
+        (22.0, -5.0, 0.06, 5.0),
+        (30.0, 0.0, 0.07, 5.0),
+        (12.0, 6.0, 0.05, 5.0),
+        (34.0, -6.0, 0.06, 5.0),
+        (2.0, 6.5, 0.05, 5.0),
     )
     return World(walls=walls, poles=poles)
 

@@ -1,0 +1,330 @@
+"""LINS odometry estimator: state machine + fused per-scan jit steps
+(reference C16-C18: StateEstimator.hpp:279-463 + Estimator.cpp:204-284).
+
+Host-side driver streams pre-decoded arrays (no ROS); each scan triggers at
+most three compiled regions: front-end, IMU propagation (lax.scan), and the
+fused IESKF/GN update step.  The YZX re-publishing convention of the reference
+(StateEstimator.hpp:1116-1161) is dropped — the whole engine stays in XYZ.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lins_tpu.config import SlamConfig
+from lins_tpu.frontend import ScanFeatures, make_frontend
+from lins_tpu.geom import so3
+from lins_tpu.imu import eskf
+from lins_tpu.imu import preintegration as pre
+from lins_tpu.odometry import association as assoc
+from lins_tpu.odometry import gn_icp, ieskf
+
+STATUS_INIT = 0
+STATUS_FIRST_SCAN = 1
+STATUS_RUNNING = 3
+
+
+class NominalState(NamedTuple):
+    """Global (world-frame) state (GlobalState without covariance)."""
+
+    rn: jnp.ndarray
+    vn: jnp.ndarray
+    qbn: jnp.ndarray
+    ba: jnp.ndarray
+    bw: jnp.ndarray
+    gn: jnp.ndarray
+
+
+def identity_nominal(cfg: SlamConfig, dtype=jnp.float64) -> NominalState:
+    z = jnp.zeros(3, dtype)
+    return NominalState(rn=z, vn=z, qbn=so3.quat_identity(dtype), ba=z, bw=z,
+                        gn=jnp.asarray([0, 0, -cfg.gravity], dtype))
+
+
+def _feature_ref(fc, dtype):
+    """Reference-set dict for association."""
+    return dict(xyz=fc.xyz.astype(dtype), ring=fc.ring, valid=fc.valid)
+
+
+def _transform_ref(fc, rel, rn, qbn):
+    """transformToEnd a feature cloud (updatePointCloud,
+    StateEstimator.hpp:1116-1161)."""
+    return assoc.transform_to_end(fc.xyz, rel, rn, qbn)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def running_step(filter_state: eskf.FilterState, global_state: NominalState,
+                 feats: ScanFeatures, last_surf, last_corner,
+                 dts, accs, gyrs, imu_valid, cfg: SlamConfig):
+    """STATUS_RUNNING per-scan step: propagate -> IESKF (-> GN fallback) ->
+    global composition -> robocentric reset -> feature re-anchoring.
+
+    Mirrors processPointClouds + processScan (Estimator.cpp:204-252,
+    StateEstimator.hpp:435-463).
+    """
+    dtype = filter_state.rn.dtype
+
+    # 1) IMU propagation across the inter-scan batch
+    fs = eskf.propagate(filter_state, dts, accs, gyrs, imu_valid, cfg)
+
+    # 2) insufficient-feature rejection (StateEstimator.hpp:436-439)
+    enough = ((jnp.sum(feats.less_sharp.valid) > 5)
+              & (jnp.sum(feats.less_flat.valid) > 10))
+
+    # 3) iterated ESKF update
+    res = ieskf.update(fs, feats.flat, feats.sharp, last_surf, last_corner, cfg)
+
+    # 4) divergence fallback: GN ICP from the propagated pose
+    #    (StateEstimator.hpp:585-592)
+    def fallback(_):
+        rn, qbn, _ = gn_icp.estimate_transform(
+            fs.rn, fs.qbn, feats.flat, feats.sharp, last_surf, last_corner,
+            cfg)
+        return res.state._replace(rn=rn, qbn=qbn, P=fs.P)
+
+    upd = jax.lax.cond(res.diverged, fallback, lambda _: res.state, None)
+    # if not enough features, skip the measurement update entirely
+    upd = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(enough, a, b), upd, fs)
+
+    rel_rn, rel_qbn = upd.rn, upd.qbn
+
+    # 5) compose into the global frame (integrateTransformation,
+    #    StateEstimator.hpp:608-617) — order matters
+    g_qbn_new = so3.quat_normalize(so3.quat_mul(global_state.qbn, rel_qbn))
+    g = NominalState(
+        rn=so3.quat_rotate(global_state.qbn, rel_rn) + global_state.rn,
+        qbn=g_qbn_new,
+        vn=so3.quat_rotate(so3.quat_mul(g_qbn_new, so3.quat_inv(rel_qbn)),
+                           upd.vn),
+        ba=upd.ba, bw=upd.bw,
+        gn=so3.quat_rotate(g_qbn_new, upd.gn))
+
+    # 6) robocentric reset + gravity-based roll/pitch correction
+    #    (StateEstimator.hpp:444-453)
+    fs_reset = eskf.reset_relative(upd, cfg)
+    roll, pitch = eskf.calculate_rp_from_gravity(upd.gn, cfg.gravity)
+    rpy = so3.quat_to_rpy(g.qbn)
+    q_corr = so3.rpy_to_quat(jnp.stack([roll, pitch, rpy[2]]))
+    g = g._replace(qbn=q_corr)
+
+    # 7) re-anchor current features into this scan's end frame for the next
+    #    association (updatePointCloud, StateEstimator.hpp:1116-1161)
+    ls, lf = feats.less_sharp, feats.less_flat
+    new_corner = dict(
+        xyz=assoc.transform_to_end(ls.xyz.astype(dtype),
+                                   ls.rel_time.astype(dtype), rel_rn, rel_qbn),
+        ring=ls.ring, valid=ls.valid)
+    new_surf = dict(
+        xyz=assoc.transform_to_end(lf.xyz.astype(dtype),
+                                   lf.rel_time.astype(dtype), rel_rn, rel_qbn),
+        ring=lf.ring, valid=lf.valid)
+
+    # keep previous reference sets when the new scan is too sparse
+    # (StateEstimator.hpp:1156-1160)
+    keep = ((jnp.sum(ls.valid) >= 5) & (jnp.sum(lf.valid) >= 20))
+
+    def sel(new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep, a, b), new, old)
+
+    metrics = dict(iters=res.iters, n_surf=res.n_surf, n_corner=res.n_corner,
+                   residual=res.residual_norm, diverged=res.diverged,
+                   enough=enough)
+    return (fs_reset, g, sel(new_surf, last_surf), sel(new_corner, last_corner),
+            rel_rn, rel_qbn, metrics)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def second_scan_step(feats: ScanFeatures, last_surf, last_corner,
+                     preint: pre.Preintegration, imu_acc, imu_gyr,
+                     cfg: SlamConfig):
+    """Two-scan bootstrap (processSecondScan, StateEstimator.hpp:379-425)."""
+    dtype = preint.delta_p.dtype
+    gn = jnp.asarray([0.0, 0.0, -cfg.gravity], dtype)
+
+    ql = preint.delta_q
+    pl = (preint.delta_p + 0.5 * gn * preint.sum_dt * preint.sum_dt)
+
+    rn, qbn, _ = gn_icp.estimate_transform(
+        pl, ql, feats.flat, feats.sharp, last_surf, last_corner, cfg)
+
+    # initial velocity from relative translation (estimateInitialState,
+    # StateEstimator.hpp:1408-1419)
+    v = rn / jnp.maximum(preint.sum_dt, 1e-6)
+    ba0 = jnp.asarray(cfg.init_ba, dtype)
+    bw0 = jnp.asarray(cfg.init_bw, dtype)
+
+    roll, pitch = eskf.calculate_rp_from_gravity(imu_acc - ba0, cfg.gravity)
+    g = NominalState(
+        rn=rn, vn=v,
+        qbn=so3.rpy_to_quat(jnp.stack([roll, pitch, jnp.asarray(0.0, dtype)])),
+        ba=ba0, bw=bw0, gn=gn)
+
+    # The reference initializes the filter with rn=r1 and qbn=I and performs
+    # no robocentric reset until the *next* scan (StateEstimator.hpp:404-406),
+    # which double-counts r1 in the next prior and relies on the ICP fallback
+    # to recover.  We instead anchor the relative filter at identity right
+    # away: init with the refined (rn, qbn), then reset(1) — so the next
+    # scan's prior is pure propagation from this scan's end frame.
+    fs = eskf.initial_state(cfg, rn=rn, vn=v, qbn=qbn, ba=ba0, bw=bw0,
+                            acc=imu_acc, gyr=imu_gyr, dtype=dtype)
+    fs = eskf.reset_relative(fs, cfg)
+
+    new_corner = dict(
+        xyz=assoc.transform_to_end(feats.less_sharp.xyz.astype(dtype),
+                                   feats.less_sharp.rel_time.astype(dtype),
+                                   rn, qbn),
+        ring=feats.less_sharp.ring, valid=feats.less_sharp.valid)
+    new_surf = dict(
+        xyz=assoc.transform_to_end(feats.less_flat.xyz.astype(dtype),
+                                   feats.less_flat.rel_time.astype(dtype),
+                                   rn, qbn),
+        ring=feats.less_flat.ring, valid=feats.less_flat.valid)
+    return fs, g, new_surf, new_corner, rn, qbn
+
+
+class LinsOdometry:
+    """Host-side odometry driver (replaces LinsFusion, Estimator.cpp:24-348)."""
+
+    def __init__(self, cfg: SlamConfig, dtype=None):
+        self.cfg = cfg
+        if dtype is None:
+            # f64 filter math when x64 is on (CPU parity runs); f32 on TPU —
+            # verified to hold ATE within a few mm of the f64 run
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+        self.frontend = make_frontend(cfg)
+        self.status = STATUS_INIT
+        self.filter_state = None
+        self.global_state = identity_nominal(cfg, dtype)
+        self.last_surf = None
+        self.last_corner = None
+        self.preint = None
+        self.rel_pose = None
+        # imu buffer (host lists)
+        self._imu_t, self._imu_a, self._imu_g = [], [], []
+        self._last_imu = None
+        self.time = -np.inf
+        self.trajectory = []   # (t, pos(3), quat wxyz(4)) per processed scan
+        self.metrics = []
+
+        mis = np.deg2rad(cfg.imu_misalign_angle)
+        c, s = np.cos(mis), np.sin(mis)
+        # alignIMUtoVehicle: out = R(0,0,yaw)ᵀ in (Estimator.cpp:286-292)
+        self._R_mis_T = np.asarray([[c, s, 0], [-s, c, 0], [0, 0, 1]])
+
+    # ------------------------------------------------------------------ IMU
+    def add_imu(self, t: float, acc, gyr):
+        acc = self._R_mis_T @ np.asarray(acc, float)
+        gyr = self._R_mis_T @ np.asarray(gyr, float)
+        self._imu_t.append(float(t))
+        self._imu_a.append(acc)
+        self._imu_g.append(gyr)
+        self._last_imu = (acc, gyr)
+
+    def _imu_batch(self, t_end: float):
+        """Propagation steps covering (self.time, t_end], padded
+        (mirrors the drain loop, Estimator.cpp:228-236)."""
+        K = self.cfg.max_imu_per_scan
+        dts = np.zeros(K)
+        accs = np.zeros((K, 3))
+        gyrs = np.zeros((K, 3))
+        valid = np.zeros(K, bool)
+        cur = self.time
+        i = 0
+        for t, a, g in zip(self._imu_t, self._imu_a, self._imu_g):
+            if t <= cur or i >= K:
+                continue
+            if cur >= t_end:
+                break
+            step_end = min(t, t_end)
+            dts[i] = step_end - cur
+            accs[i] = a
+            gyrs[i] = g
+            valid[i] = dts[i] > 0
+            cur = step_end
+            i += 1
+        # drop consumed imu samples
+        self._drop_imu_before(min(cur, t_end) - 1e-9)
+        return (jnp.asarray(dts, self.dtype), jnp.asarray(accs, self.dtype),
+                jnp.asarray(gyrs, self.dtype), jnp.asarray(valid))
+
+    def _drop_imu_before(self, t: float):
+        keep = [k for k, tt in enumerate(self._imu_t) if tt > t]
+        self._imu_t = [self._imu_t[k] for k in keep]
+        self._imu_a = [self._imu_a[k] for k in keep]
+        self._imu_g = [self._imu_g[k] for k in keep]
+
+    # ----------------------------------------------------------------- scans
+    def add_scan(self, t: float, xyz: np.ndarray, n_points: int):
+        """Process one raw scan; returns the global pose (pos, quat) or None
+        while initializing."""
+        img, seg, feats = self.frontend(jnp.asarray(xyz, jnp.float32),
+                                        jnp.int32(n_points))
+        n_corner = int(feats.less_sharp.valid.sum())
+        n_surf = int(feats.less_flat.valid.sum())
+
+        if self.status == STATUS_INIT:
+            if n_corner < 10 or n_surf < 100:
+                return None
+            if self._last_imu is None:
+                return None
+            acc0, gyr0 = self._last_imu
+            self.filter_state = eskf.initial_state(
+                self.cfg, time=t, acc=acc0, gyr=gyr0, dtype=self.dtype)
+            self.preint = pre.init_preintegration(
+                acc0, gyr0, self.cfg.init_ba, self.cfg.init_bw,
+                dtype=self.dtype)
+            self.last_corner = _feature_ref(feats.less_sharp, self.dtype)
+            self.last_surf = _feature_ref(feats.less_flat, self.dtype)
+            self.time = t
+            self._drop_imu_before(t)
+            self.status = STATUS_FIRST_SCAN
+            return None
+
+        if self.status == STATUS_FIRST_SCAN:
+            if n_corner < 10 or n_surf < 100:
+                self.status = STATUS_INIT
+                return None
+            dts, accs, gyrs, valid = self._imu_batch(t)
+            self.preint = pre.preintegrate(self.preint, dts, accs, gyrs, valid)
+            acc_l, gyr_l = self._last_imu
+            (self.filter_state, self.global_state, self.last_surf,
+             self.last_corner, rel_rn, rel_qbn) = second_scan_step(
+                feats, self.last_surf, self.last_corner, self.preint,
+                jnp.asarray(acc_l, self.dtype), jnp.asarray(gyr_l, self.dtype),
+                self.cfg)
+            self.filter_state = self.filter_state._replace(
+                time=jnp.asarray(t, self.dtype))
+            self.time = t
+            self.rel_pose = (rel_rn, rel_qbn)
+            self.status = STATUS_RUNNING
+            self._record(t)
+            return self._pose()
+
+        # STATUS_RUNNING
+        dts, accs, gyrs, valid = self._imu_batch(t)
+        (self.filter_state, self.global_state, self.last_surf,
+         self.last_corner, rel_rn, rel_qbn, metrics) = running_step(
+            self.filter_state, self.global_state, feats, self.last_surf,
+            self.last_corner, dts, accs, gyrs, valid, self.cfg)
+        self.filter_state = self.filter_state._replace(
+            time=jnp.asarray(t, self.dtype))
+        self.time = t
+        self.rel_pose = (rel_rn, rel_qbn)
+        self.metrics.append({k: np.asarray(v) for k, v in metrics.items()})
+        self._record(t)
+        return self._pose()
+
+    def _pose(self):
+        return (np.asarray(self.global_state.rn),
+                np.asarray(self.global_state.qbn))
+
+    def _record(self, t):
+        p, q = self._pose()
+        self.trajectory.append((t, p, q))
