@@ -1,0 +1,62 @@
+"""Benchmark harness: end-to-end LiDAR-inertial odometry throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": "odometry_scans_per_sec", "value": N, "unit": "scans/s",
+   "vs_baseline": N/10}
+
+Baseline: the reference LINS operates in real time on a VLP-16 stream —
+10 scans/s (BASELINE.md); vs_baseline is the speed-up over that real-time
+rate (build target: >= 10x, i.e. >= 100 scans/s/chip).
+
+The measured path is the full pipeline on the default backend (TPU when
+available): front-end (projection/segmentation/features), IMU propagation,
+and the iterated ESKF update, on a raycast synthetic VLP-16 sequence with
+400 Hz IMU.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lins_tpu.config import VLP16
+    from lins_tpu.datasets import synthetic as syn
+    from lins_tpu.odometry import LinsOdometry
+
+    cfg = VLP16.replace(max_points=28800)
+    n_scans = 24
+    data = syn.generate_sequence(cfg, n_scans=n_scans, kind="gentle",
+                                 speed=1.5)
+
+    odo = LinsOdometry(cfg)
+    imu_i = 0
+    times = []
+    for k in range(n_scans):
+        t_scan = data["scan_times"][k] + cfg.scan_period
+        while (imu_i < len(data["imu_times"])
+               and data["imu_times"][imu_i] <= t_scan + 1e-9):
+            odo.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
+                        data["imu_gyr"][imu_i])
+            imu_i += 1
+        t0 = time.perf_counter()
+        odo.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
+        times.append(time.perf_counter() - t0)
+
+    steady = np.asarray(times[6:])  # skip compile + bootstrap scans
+    scans_per_sec = 1.0 / float(np.mean(steady))
+    print(json.dumps({
+        "metric": "odometry_scans_per_sec",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,10 +56,10 @@ def _transform_ref(fc, rel, rn, qbn):
     return assoc.transform_to_end(fc.xyz, rel, rn, qbn)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def running_step(filter_state: eskf.FilterState, global_state: NominalState,
-                 feats: ScanFeatures, last_surf, last_corner,
-                 dts, accs, gyrs, imu_valid, cfg: SlamConfig):
+def running_step_impl(filter_state: eskf.FilterState,
+                      global_state: NominalState,
+                      feats: ScanFeatures, last_surf, last_corner,
+                      dts, accs, gyrs, imu_valid, cfg: SlamConfig):
     """STATUS_RUNNING per-scan step: propagate -> IESKF (-> GN fallback) ->
     global composition -> robocentric reset -> feature re-anchoring.
 
@@ -137,6 +137,9 @@ def running_step(filter_state: eskf.FilterState, global_state: NominalState,
                    enough=enough)
     return (fs_reset, g, sel(new_surf, last_surf), sel(new_corner, last_corner),
             rel_rn, rel_qbn, metrics)
+
+
+running_step = jax.jit(running_step_impl, static_argnames=("cfg",))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
