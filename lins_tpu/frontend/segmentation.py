@@ -61,18 +61,24 @@ def label_components(rng_img: jnp.ndarray, eligible: jnp.ndarray, cfg: SlamConfi
         m = jnp.minimum(m, jnp.where(e_up, up, _BIG))
         return jnp.where(eligible, m, _BIG)
 
+    LS = L * S
+
     def body(state):
         lab, _ = state
-        new = neighbor_min(lab)
-        # pointer jumping: follow the representative twice (path halving)
-        flat = new.reshape(-1)
-        flat_ext = jnp.concatenate([flat, jnp.asarray([_BIG], jnp.int32)])
-        safe = jnp.minimum(flat, L * S)
-        flat = jnp.minimum(flat, flat_ext[safe])
-        safe = jnp.minimum(flat, L * S)
-        flat = jnp.minimum(flat, flat_ext[safe])
-        new = flat.reshape(L, S)
-        new = jnp.where(eligible, new, _BIG)
+        prev = lab.reshape(-1)
+        flat = neighbor_min(lab).reshape(-1)
+        # union-find "hook": children scatter-min their new value onto their
+        # previous representative, so a smaller label entering an
+        # already-converged region reaches every member through one jump
+        # instead of crawling the grid one cell per sweep
+        A = jnp.full((LS + 1,), _BIG, jnp.int32).at[
+            jnp.minimum(prev, LS)].min(flat)
+        flat = jnp.minimum(flat, A[:LS])
+        # pointer doubling (rebuild the table each hop)
+        for _ in range(2):
+            ext = jnp.concatenate([flat, jnp.asarray([_BIG], jnp.int32)])
+            flat = jnp.minimum(flat, ext[jnp.minimum(flat, LS)])
+        new = jnp.where(eligible, flat.reshape(L, S), _BIG)
         return new, jnp.any(new != lab)
 
     def cond(state):

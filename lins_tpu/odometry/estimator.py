@@ -142,6 +142,28 @@ def running_step_impl(filter_state: eskf.FilterState,
 running_step = jax.jit(running_step_impl, static_argnames=("cfg",))
 
 
+def full_scan_step_impl(filter_state, global_state, last_surf, last_corner,
+                        xyz, n_points, dts, accs, gyrs, imu_valid,
+                        cfg: SlamConfig):
+    """Entire RUNNING-state per-scan path in ONE compiled region:
+    front-end + propagation + IESKF + composition + re-anchoring.
+
+    One dispatch per scan — critical on remote-attached TPUs where each
+    host->device round trip costs tens of ms, and it lets consecutive scans
+    pipeline (host dispatches scan k+1 while the device runs scan k).
+    """
+    from lins_tpu.frontend.pipeline import process_cloud
+
+    _, _, feats = process_cloud(xyz, n_points, cfg)
+    return running_step_impl(filter_state, global_state, feats, last_surf,
+                             last_corner, dts, accs, gyrs, imu_valid, cfg)
+
+
+# note: no donate_argnums — the host driver keeps references to returned
+# state (trajectory log), and the state pytrees are small anyway
+full_scan_step = jax.jit(full_scan_step_impl, static_argnames=("cfg",))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def second_scan_step(feats: ScanFeatures, last_surf, last_corner,
                      preint: pre.Preintegration, imu_acc, imu_gyr,
@@ -265,8 +287,27 @@ class LinsOdometry:
 
     # ----------------------------------------------------------------- scans
     def add_scan(self, t: float, xyz: np.ndarray, n_points: int):
-        """Process one raw scan; returns the global pose (pos, quat) or None
-        while initializing."""
+        """Process one raw scan; returns the global pose (pos, quat) device
+        arrays, or None while initializing.
+
+        In the RUNNING state this issues exactly one device dispatch (the
+        fused full_scan_step) and performs no host synchronization, so
+        successive scans pipeline; call np.asarray on the returned pose (or
+        read .trajectory) to materialize results.
+        """
+        if self.status == STATUS_RUNNING:
+            dts, accs, gyrs, valid = self._imu_batch(t)
+            (self.filter_state, self.global_state, self.last_surf,
+             self.last_corner, rel_rn, rel_qbn, metrics) = full_scan_step(
+                self.filter_state, self.global_state, self.last_surf,
+                self.last_corner, jnp.asarray(xyz, jnp.float32),
+                jnp.int32(n_points), dts, accs, gyrs, valid, self.cfg)
+            self.time = t
+            self.rel_pose = (rel_rn, rel_qbn)
+            self.metrics.append(metrics)  # device arrays; lazy
+            self._record(t)
+            return self.global_state.rn, self.global_state.qbn
+
         img, seg, feats = self.frontend(jnp.asarray(xyz, jnp.float32),
                                         jnp.int32(n_points))
         n_corner = int(feats.less_sharp.valid.sum())
@@ -310,24 +351,20 @@ class LinsOdometry:
             self._record(t)
             return self._pose()
 
-        # STATUS_RUNNING
-        dts, accs, gyrs, valid = self._imu_batch(t)
-        (self.filter_state, self.global_state, self.last_surf,
-         self.last_corner, rel_rn, rel_qbn, metrics) = running_step(
-            self.filter_state, self.global_state, feats, self.last_surf,
-            self.last_corner, dts, accs, gyrs, valid, self.cfg)
-        self.filter_state = self.filter_state._replace(
-            time=jnp.asarray(t, self.dtype))
-        self.time = t
-        self.rel_pose = (rel_rn, rel_qbn)
-        self.metrics.append({k: np.asarray(v) for k, v in metrics.items()})
-        self._record(t)
-        return self._pose()
+        return None  # unreachable
 
     def _pose(self):
         return (np.asarray(self.global_state.rn),
                 np.asarray(self.global_state.qbn))
 
     def _record(self, t):
-        p, q = self._pose()
-        self.trajectory.append((t, p, q))
+        # store device arrays without synchronizing; materialize on demand
+        self.trajectory.append((t, self.global_state.rn,
+                                self.global_state.qbn))
+
+    def trajectory_arrays(self):
+        """(times (N,), pos (N,3), quat (N,4)) as host numpy arrays."""
+        ts = np.asarray([t for t, _, _ in self.trajectory])
+        ps = np.stack([np.asarray(p) for _, p, _ in self.trajectory])
+        qs = np.stack([np.asarray(q) for _, _, q in self.trajectory])
+        return ts, ps, qs
