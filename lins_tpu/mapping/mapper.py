@@ -1,0 +1,154 @@
+"""Mapping backend driver (reference C19-C21: lidar_mapping_node.cpp main
+loop without the ROS plumbing).
+
+Per mapped scan (throttled to mapping_process_interval like the reference's
+0.3 s gate, lidar_mapping_node.cpp:1821):
+  1. warm-start pose = last map correction ∘ new odometry pose
+     (transformAssociateToMap, :411-536 — quaternion compose instead of the
+     hand-expanded Euler algebra)
+  2. voxel-downsample the scan's corner/surf clouds (:1326-1349)
+  3. assemble the local map from recent keyframes (:1201-1324)
+  4. scan-to-map GN refinement (:1635-1652)
+  5. roll/pitch blend with the odometry attitude (transformUpdate :538-577)
+  6. keyframe gating at 0.3 m (:1660-1667) + store update
+Everything after the host-side throttle is one fused jit per mapped scan.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lins_tpu.config import SlamConfig
+from lins_tpu.geom import so3
+from lins_tpu.mapping import keyframes as kf
+from lins_tpu.mapping.scan2map import scan_to_map
+from lins_tpu.ops.voxel import voxel_downsample
+
+
+class MapperState(NamedTuple):
+    store: kf.KeyframeStore
+    bef_pos: jnp.ndarray   # odometry pose at last correction
+    bef_quat: jnp.ndarray
+    aft_pos: jnp.ndarray   # refined pose at last correction
+    aft_quat: jnp.ndarray
+
+
+def init_mapper(cfg: SlamConfig, corner_cap=1024, surf_cap=4096,
+                dtype=jnp.float32) -> MapperState:
+    z = jnp.zeros(3, dtype)
+    e = so3.quat_identity(dtype)
+    return MapperState(store=kf.empty_store(cfg, corner_cap, surf_cap, dtype),
+                       bef_pos=z, bef_quat=e, aft_pos=z, aft_quat=e)
+
+
+def warm_start(state: MapperState, odo_pos, odo_quat):
+    """T_warm = T_aft ∘ T_bef⁻¹ ∘ T_odo (transformAssociateToMap)."""
+    dq = so3.quat_mul(state.aft_quat, so3.quat_inv(state.bef_quat))
+    pos = state.aft_pos + so3.quat_rotate(
+        dq, odo_pos - state.bef_pos)
+    quat = so3.quat_normalize(so3.quat_mul(dq, odo_quat))
+    return pos, quat
+
+
+def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
+                       corner_xyz, corner_valid, surf_xyz, surf_valid,
+                       cfg: SlamConfig, corner_cap: int, surf_cap: int,
+                       n_window: int, map_corner_cap: int, map_surf_cap: int):
+    dtype = state.bef_pos.dtype
+    odo_pos = odo_pos.astype(dtype)
+    odo_quat = odo_quat.astype(dtype)
+
+    t_w, q_w = warm_start(state, odo_pos, odo_quat)
+
+    # downsample the current scan (body frame)
+    c_ds, c_ok = voxel_downsample(corner_xyz.astype(dtype), corner_valid,
+                                  cfg.map_corner_leaf, corner_cap)
+    s_ds, s_ok = voxel_downsample(surf_xyz.astype(dtype), surf_valid,
+                                  cfg.map_surf_leaf, surf_cap)
+
+    has_map = state.store.count > 0
+
+    def refine(_):
+        center = state.store.count - 1
+        cm, cmv, sm, smv = kf.assemble_local_map(
+            state.store, center, n_window, map_corner_cap, map_surf_cap,
+            cfg.map_corner_leaf, cfg.map_surf_leaf)
+        t, q, iters, n_sel = scan_to_map(
+            t_w, q_w, c_ds, c_ok, s_ds, s_ok, cm, cmv, sm, smv, cfg)
+        return t, q, iters, n_sel
+
+    def first(_):
+        return t_w, q_w, jnp.int32(0), jnp.int32(0)
+
+    t_m, q_m, iters, n_sel = jax.lax.cond(has_map, refine, first, None)
+
+    # roll/pitch blend with the odometry attitude (transformUpdate)
+    rpy_m = so3.quat_to_rpy(q_m)
+    rpy_o = so3.quat_to_rpy(odo_quat)
+    blended = jnp.stack([
+        0.998 * rpy_m[0] + 0.002 * rpy_o[0],
+        0.998 * rpy_m[1] + 0.002 * rpy_o[1],
+        rpy_m[2]])
+    q_m = so3.rpy_to_quat(blended)
+
+    # keyframe gate: 0.3 m from the previous keyframe (or always for the 1st)
+    last_i = jnp.maximum(state.store.count - 1, 0)
+    last_pos = state.store.pos[last_i]
+    dist = jnp.linalg.norm(t_m - last_pos)
+    add = (~has_map) | (dist > cfg.keyframe_gate_meters)
+
+    new_store = kf.add_keyframe(state.store, t_m, q_m, time,
+                                c_ds, c_ok, s_ds, s_ok)
+    store = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(add, a, b), new_store, state.store)
+
+    new_state = MapperState(store=store, bef_pos=odo_pos, bef_quat=odo_quat,
+                            aft_pos=t_m, aft_quat=q_m)
+    metrics = dict(iters=iters, n_matches=n_sel, keyframe_added=add,
+                   warm_dist=jnp.linalg.norm(t_m - t_w))
+    return new_state, t_m, q_m, metrics
+
+
+class LinsMapper:
+    """Host driver for the mapping backend."""
+
+    def __init__(self, cfg: SlamConfig, corner_cap=1024, surf_cap=4096,
+                 n_window=None, map_corner_cap=32768, map_surf_cap=65536,
+                 dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.state = init_mapper(cfg, corner_cap, surf_cap, dtype)
+        self.last_time = -np.inf
+        self.metrics = []
+        self.trajectory = []
+        self._step = jax.jit(partial(
+            _mapping_step_impl, cfg=cfg, corner_cap=corner_cap,
+            surf_cap=surf_cap,
+            n_window=n_window or cfg.surrounding_keyframe_search_num,
+            map_corner_cap=map_corner_cap, map_surf_cap=map_surf_cap))
+
+    def process(self, time: float, odo_pos, odo_quat,
+                corner_xyz, corner_valid, surf_xyz, surf_valid):
+        """Feed one odometry result + its scan clouds (body frame).
+
+        Returns (pos, quat) of the refined pose, or None when throttled.
+        """
+        if time - self.last_time < self.cfg.mapping_process_interval:
+            return None
+        self.last_time = time
+        (self.state, t_m, q_m, metrics) = self._step(
+            self.state, jnp.asarray(odo_pos), jnp.asarray(odo_quat),
+            jnp.asarray(time, self.dtype), corner_xyz, corner_valid,
+            surf_xyz, surf_valid)
+        self.metrics.append(metrics)
+        self.trajectory.append((time, t_m, q_m))
+        return t_m, q_m
+
+    def correction(self):
+        """Latest (bef, aft) odometry->map correction for high-rate fusion."""
+        return (self.state.bef_pos, self.state.bef_quat,
+                self.state.aft_pos, self.state.aft_quat)

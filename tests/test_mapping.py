@@ -1,0 +1,183 @@
+"""Mapping backend tests: voxel ops, 5-NN, residuals, scan-to-map GN,
+keyframe store, full-pipeline drift reduction (SURVEY.md §4.2-4.3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lins_tpu.config import VLP16
+from lins_tpu.datasets import synthetic as syn
+from lins_tpu.geom import so3
+from lins_tpu.mapping import keyframes as kf
+from lins_tpu.mapping.scan2map import (
+    corner_residuals, scan_to_map, surf_residuals)
+from lins_tpu.ops.voxel import top_k_nn, voxel_downsample
+
+CFG = VLP16.replace(max_points=28800)
+
+
+class TestVoxelOps:
+    def test_downsample_centroids(self):
+        # two clusters of 3 points each in separate voxels
+        xyz = jnp.asarray([
+            [0.01, 0.01, 0.01], [0.05, 0.02, 0.03], [0.03, 0.06, 0.02],
+            [5.01, 5.01, 5.01], [5.03, 5.05, 5.02], [5.02, 5.03, 5.06],
+            [0.0, 0.0, 0.0],  # masked out
+        ])
+        mask = jnp.asarray([True] * 6 + [False])
+        out, ok = voxel_downsample(xyz, mask, leaf=0.5, cap=4)
+        got = np.sort(np.asarray(out)[np.asarray(ok)], axis=0)
+        exp = np.sort(np.stack([
+            np.mean(np.asarray(xyz[:3]), axis=0),
+            np.mean(np.asarray(xyz[3:6]), axis=0)]), axis=0)
+        assert int(ok.sum()) == 2
+        np.testing.assert_allclose(got, exp, atol=1e-6)
+
+    def test_topk_matches_bruteforce(self):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(37, 3)), jnp.float32)
+        r = jnp.asarray(rng.normal(size=(211, 3)), jnp.float32)
+        rv = jnp.asarray(rng.uniform(size=211) > 0.2)
+        idx, d2 = top_k_nn(q, jnp.ones(37, bool), r, rv, k=5, chunk=64)
+        # brute force
+        D = np.linalg.norm(np.asarray(q)[:, None] - np.asarray(r)[None], axis=-1) ** 2
+        D[:, ~np.asarray(rv)] = np.inf
+        exp = np.sort(D, axis=1)[:, :5]
+        np.testing.assert_allclose(np.sort(np.asarray(d2), axis=1), exp,
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestResiduals:
+    def test_corner_line(self):
+        # map: points along a line; query 0.3 off the line
+        t_line = np.linspace(-0.5, 0.5, 8)
+        map_pts = jnp.asarray(np.stack([t_line, np.zeros(8), np.zeros(8)], 1),
+                              jnp.float32)
+        q_pts = jnp.asarray([[0.0, 0.3, 0.0]], jnp.float32)
+        p_w, coeff, res, ok = corner_residuals(
+            q_pts, jnp.ones(1, bool), jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]),
+            map_pts, jnp.ones(8, bool))
+        assert bool(ok[0])
+        # s = 1 - 0.9*0.3 = 0.73 ; res = s * 0.3
+        np.testing.assert_allclose(float(res[0]), 0.73 * 0.3, atol=1e-5)
+
+    def test_surf_plane(self):
+        # note: the reference's plane model n·x + 1 = 0 (A x = -1,
+        # lidar_mapping_node.cpp:1477) cannot represent planes through the
+        # origin, so the fixture plane sits at z = 1
+        rng = np.random.default_rng(1)
+        pts = np.ones((12, 3), np.float32)
+        pts[:, 0] = rng.uniform(-1, 1, 12)
+        pts[:, 1] = rng.uniform(-1, 1, 12)
+        map_pts = jnp.asarray(pts)
+        q_pts = jnp.asarray([[0.1, 0.1, 1.2]], jnp.float32)
+        p_w, coeff, res, ok = surf_residuals(
+            q_pts, jnp.ones(1, bool), jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]),
+            map_pts, jnp.ones(12, bool))
+        assert bool(ok[0])
+        s = 1 - 0.9 * 0.2 / np.sqrt(np.sqrt(np.linalg.norm([0.1, 0.1, 1.2])))
+        np.testing.assert_allclose(abs(float(res[0])), s * 0.2, atol=1e-4)
+
+    def test_nonlinear_cluster_rejected(self):
+        # perfectly isotropic cluster (octahedron) — eigenvalues equal
+        map_pts = jnp.asarray([
+            [0.3, 0, 0], [-0.3, 0, 0], [0, 0.3, 0], [0, -0.3, 0],
+            [0, 0, 0.3], [0, 0, -0.3]], jnp.float32)
+        map_pts = jnp.concatenate([map_pts, 100.0 + map_pts])  # pad far away
+        q_pts = jnp.asarray([[0.0, 0.05, 0.0]], jnp.float32)
+        _, _, _, ok = corner_residuals(
+            q_pts, jnp.ones(1, bool), jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]),
+            map_pts, jnp.ones(12, bool))
+        assert not bool(ok[0])
+
+
+class TestScanToMap:
+    @pytest.fixture(scope="class")
+    def scene(self):
+        fe_cfg = CFG
+        from lins_tpu.frontend import make_frontend
+        data = syn.generate_sequence(fe_cfg, n_scans=2, kind="static",
+                                     speed=0.0)
+        fe = make_frontend(fe_cfg)
+        feats = fe(jnp.asarray(data["scans_xyz"][0]),
+                   jnp.asarray(data["scans_n"][0]))[2]
+        corner = feats.less_sharp
+        surf = feats.less_flat
+        return corner, surf
+
+    def test_recovers_perturbation(self, scene):
+        corner, surf = scene
+        # map = the same clouds at identity (world = body)
+        cm, cmv = corner.xyz.astype(jnp.float32), corner.valid
+        sm, smv = surf.xyz.astype(jnp.float32), surf.valid
+        # start from a perturbed pose; truth is identity
+        t0 = jnp.asarray([0.2, -0.15, 0.1], jnp.float32)
+        q0 = so3.exp_axis(jnp.asarray([0.02, -0.02, 0.05], jnp.float32))
+        t, q, iters, n_sel = scan_to_map(
+            t0, q0, corner.xyz.astype(jnp.float32), corner.valid,
+            surf.xyz.astype(jnp.float32), surf.valid, cm, cmv, sm, smv, CFG)
+        assert int(n_sel) > 100
+        np.testing.assert_allclose(np.asarray(t), 0.0, atol=0.01)
+        ang = np.linalg.norm(np.asarray(so3.log_quat(q)))
+        assert ang < 0.01
+
+    def test_empty_map_noop(self, scene):
+        corner, surf = scene
+        empty = jnp.zeros((64, 3), jnp.float32)
+        ev = jnp.zeros(64, bool)
+        t0 = jnp.asarray([0.1, 0.0, 0.0], jnp.float32)
+        q0 = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+        t, q, iters, n_sel = scan_to_map(
+            t0, q0, corner.xyz.astype(jnp.float32), corner.valid,
+            surf.xyz.astype(jnp.float32), surf.valid, empty, ev, empty, ev,
+            CFG)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t0), atol=1e-7)
+
+
+class TestKeyframeStore:
+    def test_add_and_window(self):
+        store = kf.empty_store(CFG.replace(max_keyframes=8), 16, 32)
+        for i in range(3):
+            store = kf.add_keyframe(
+                store, jnp.asarray([float(i), 0, 0]),
+                jnp.asarray([1.0, 0, 0, 0]), float(i),
+                jnp.ones((16, 3)), jnp.ones(16, bool),
+                jnp.ones((32, 3)), jnp.ones(32, bool))
+        assert int(store.count) == 3
+        idx, ok = kf.gather_window(store, jnp.int32(2), 5)
+        assert int(ok.sum()) == 3
+
+    def test_local_map_transforms(self):
+        store = kf.empty_store(CFG.replace(max_keyframes=4), 4, 4)
+        cloud = jnp.asarray([[1.0, 0, 0], [2.0, 0, 0], [3.0, 0, 0],
+                             [4.0, 0, 0]], jnp.float32)
+        store = kf.add_keyframe(
+            store, jnp.asarray([0.0, 10.0, 0.0]), jnp.asarray([1.0, 0, 0, 0]),
+            0.0, cloud, jnp.ones(4, bool), cloud, jnp.ones(4, bool))
+        cm, cmv, sm, smv = kf.assemble_local_map(
+            store, jnp.int32(0), 2, 16, 16, 0.2, 0.2)
+        pts = np.asarray(cm)[np.asarray(cmv)]
+        assert np.all(np.abs(pts[:, 1] - 10.0) < 0.2)
+
+
+class TestFullSlam:
+    def test_mapping_reduces_drift(self):
+        from lins_tpu.slam import LinsSlam, ate_rmse, run_sequence
+        n = 10
+        data = syn.generate_sequence(CFG, n_scans=n, kind="straight",
+                                     speed=1.5)
+        R0 = np.asarray(so3.quat_to_mat(jnp.asarray(data["gt_quat"][0],
+                                                    jnp.float64)))
+        p0 = data["gt_pos"][0]
+
+        def run(mapping):
+            slam = LinsSlam(CFG, enable_mapping=mapping,
+                            map_corner_cap=8192, map_surf_cap=16384)
+            run_sequence(slam, data)
+            ts, ps, qs = slam.trajectory_arrays()
+            return ate_rmse(ps, data["gt_pos"][1:1 + len(ps)], (R0, p0))
+
+        ate_odo = run(False)
+        ate_map = run(True)
+        assert ate_map < ate_odo * 0.7, (ate_odo, ate_map)
+        assert ate_map < 0.03
