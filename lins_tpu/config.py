@@ -81,6 +81,19 @@ class SlamConfig:
     history_keyframe_search_num: int = 25
     history_keyframe_fitness_score: float = 0.3
     loop_closure_enabled: bool = True
+    loop_time_gate: float = 30.0             # min age of loop candidates (s)
+    # Pose-graph edge variances.  The reference feeds gtsam 1e-6/1e-8
+    # odometry variances (lidar_mapping_node.cpp:383-385) which, against
+    # fitness-weighted loop factors, lets a loop edge correct only ~2% of
+    # accumulated drift; we default to realistic scan-to-map uncertainty so
+    # accepted loops actually close (deviation documented in README).
+    pg_odom_rot_var: float = 1e-4            # rad^2
+    pg_odom_pos_var: float = 4e-4            # m^2  (2 cm std)
+    # Loop-edge variance = fitness * pg_loop_var_scale.  Raw ICP fitness is
+    # mean squared point distance, floored by map voxel discretization
+    # (~0.1-0.3 m RMS at 0.4 m leaves) even for mm-accurate pose alignment;
+    # the scale converts it into a pose-uncertainty-like variance.
+    pg_loop_var_scale: float = 0.01
     keyframe_gate_meters: float = 0.3        # lidar_mapping_node.cpp:1660-1667
     map_corner_leaf: float = 0.2             # lidar_mapping_node.cpp:283-291
     map_surf_leaf: float = 0.4
@@ -95,7 +108,8 @@ class SlamConfig:
     max_less_flat: int = 6144        # voxel-downsampled ground/unlabeled points
     max_outlier: int = 4096
     max_points: int = 60000          # raw cloud capacity
-    max_keyframes: int = 2048        # mapping backend capacity
+    max_keyframes: int = 512         # mapping backend capacity (dense-PGO
+                                     # friendly; raise with the sharded solver)
     max_map_corner: int = 32768      # assembled local corner map capacity
     max_map_surf: int = 65536        # assembled local surf map capacity
 

@@ -1,0 +1,142 @@
+"""Loop-closure detection + batched ICP (reference C23,
+lidar_mapping_node.cpp:1033-1186).
+
+Detection: nearest past keyframe within history_keyframe_search_radius (5 m)
+that is at least 30 s old.  Alignment: point-to-point ICP of the current
+keyframe cloud against a ±history_keyframe_search_num (25) keyframe submap —
+the PCL ICP call (:1127-1138) re-built as a fixed-iteration Umeyama loop on
+chunked MXU nearest neighbors.  Accept when fitness < 0.3 and insert a
+BetweenFactor-equivalent edge.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lins_tpu.config import SlamConfig
+from lins_tpu.geom import so3
+from lins_tpu.mapping import keyframes as kf
+from lins_tpu.ops.voxel import top_k_nn, voxel_downsample
+
+
+def detect_loop(store: kf.KeyframeStore, cur: jnp.ndarray, cur_time,
+                cfg: SlamConfig):
+    """Nearest old keyframe within radius (detectLoopClosure :1043-1112).
+
+    Returns (index, found)."""
+    pos = store.pos
+    ids = jnp.arange(pos.shape[0])
+    d = jnp.linalg.norm(pos - pos[cur][None, :], axis=1)
+    old = ((ids < store.count)
+           & (cur_time - store.time > cfg.loop_time_gate)
+           & (ids != cur))
+    d = jnp.where(old, d, jnp.inf)
+    idx = jnp.argmin(d)
+    found = d[idx] < cfg.history_keyframe_search_radius
+    return idx.astype(jnp.int32), found
+
+
+def _umeyama(src, dst, w):
+    """Weighted rigid alignment src->dst (closed form, no scaling)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
+    mu_d = jnp.sum(dst * w[:, None], axis=0) / wsum
+    S = ((dst - mu_d) * w[:, None]).T @ (src - mu_s) / wsum
+    U, _, Vt = jnp.linalg.svd(S)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.diag(jnp.asarray([1.0, 1.0, jnp.sign(det)], src.dtype))
+    R = U @ D @ Vt
+    t = mu_d - R @ mu_s
+    return R, t
+
+
+def icp_align(src, src_valid, dst, dst_valid, iters: int = 25,
+              max_corr: float = 2.0):
+    """Point-to-point ICP: returns (R, t, fitness) aligning src onto dst.
+
+    fitness = mean squared correspondence distance of the final iteration
+    (PCL getFitnessScore equivalent, :1139-1141)."""
+    dtype = src.dtype
+
+    def body(_, state):
+        R, t = state
+        moved = src @ R.T + t[None, :]
+        idx, d2 = top_k_nn(moved, src_valid, dst, dst_valid, k=1)
+        n1, d1 = idx[:, 0], d2[:, 0]
+        w = (src_valid & (d1 < max_corr * max_corr)
+             & jnp.isfinite(d1)).astype(dtype)
+        Rn, tn = _umeyama(src, dst[n1], w)
+        return Rn, tn
+
+    R0 = jnp.eye(3, dtype=dtype)
+    t0 = jnp.zeros(3, dtype)
+    R, t = jax.lax.fori_loop(0, iters, body, (R0, t0))
+
+    moved = src @ R.T + t[None, :]
+    idx, d2 = top_k_nn(moved, src_valid, dst, dst_valid, k=1)
+    ok = src_valid & jnp.isfinite(d2[:, 0])
+    fitness = (jnp.sum(jnp.where(ok, d2[:, 0], 0.0))
+               / jnp.maximum(jnp.sum(ok), 1))
+    return R, t, fitness
+
+
+@partial(jax.jit, static_argnames=("cfg", "submap_cap", "cloud_cap"))
+def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
+                   submap_cap: int = 16384, cloud_cap: int = 8192):
+    """Detect + align one loop candidate (performLoopClosure :1114-1186).
+
+    Returns (matched_idx, found, accepted, t_rel, q_rel, fitness) where
+    (t_rel, q_rel) is the measured transform from the matched keyframe to the
+    corrected current keyframe pose."""
+    dtype = store.pos.dtype
+    idx, found = detect_loop(store, cur, cur_time, cfg)
+
+    # submap: ±history_keyframe_search_num keyframes around the candidate
+    n_half = cfg.history_keyframe_search_num
+    win = jnp.arange(2 * n_half + 1) - n_half + idx
+    ok_win = (win >= 0) & (win < store.count)
+    win = jnp.clip(win, 0, store.pos.shape[0] - 1)
+    # only keyframes from the OLD pass: the reference's ±25 index window
+    # implicitly excludes the fresh pass because loops are hundreds of
+    # keyframes apart; with a time gate this stays true for short revisits
+    ok_win = ok_win & (cur_time - store.time[win] > cfg.loop_time_gate)
+
+    def to_world(cloud, valid, p, q, keep):
+        return (so3.quat_rotate(q[None, :], cloud) + p[None, :],
+                valid & keep)
+
+    sw, sv = jax.vmap(to_world)(store.surf[win], store.surf_valid[win],
+                                store.pos[win], store.quat[win], ok_win)
+    cw, cv = jax.vmap(to_world)(store.corner[win], store.corner_valid[win],
+                                store.pos[win], store.quat[win], ok_win)
+    sub_xyz = jnp.concatenate([sw.reshape(-1, 3), cw.reshape(-1, 3)])
+    sub_ok = jnp.concatenate([sv.reshape(-1), cv.reshape(-1)])
+    submap, submap_ok = voxel_downsample(sub_xyz, sub_ok,
+                                         cfg.map_surf_leaf, submap_cap)
+
+    # current keyframe cloud in world at its current estimate
+    cur_i = jnp.clip(cur, 0, store.pos.shape[0] - 1)
+    p_c, q_c = store.pos[cur_i], store.quat[cur_i]
+    cloud = jnp.concatenate([store.surf[cur_i], store.corner[cur_i]])
+    cloud_ok = jnp.concatenate([store.surf_valid[cur_i],
+                                store.corner_valid[cur_i]])
+    cloud_w = so3.quat_rotate(q_c[None, :], cloud) + p_c[None, :]
+    cloud_ds, cloud_ds_ok = voxel_downsample(cloud_w, cloud_ok,
+                                             cfg.map_surf_leaf, cloud_cap)
+
+    R, t, fitness = icp_align(cloud_ds, cloud_ds_ok, submap, submap_ok)
+    accepted = found & (fitness < cfg.history_keyframe_fitness_score)
+
+    # corrected current pose: T_corr = (R, t) ∘ T_cur
+    q_icp = so3.mat_to_quat(R)
+    p_corr = so3.quat_rotate(q_icp, p_c) + t
+    q_corr = so3.quat_normalize(so3.quat_mul(q_icp, q_c))
+
+    # measured relative transform matched -> corrected current
+    p_m, q_m = store.pos[idx], store.quat[idx]
+    q_rel = so3.quat_normalize(so3.quat_mul(so3.quat_inv(q_m), q_corr))
+    t_rel = so3.quat_rotate_inv(q_m, p_corr - p_m)
+    return idx, found, accepted, t_rel, q_rel, fitness

@@ -24,6 +24,8 @@ import numpy as np
 
 from lins_tpu.config import SlamConfig
 from lins_tpu.geom import so3
+from lins_tpu.graph import loop_closure as lc
+from lins_tpu.graph import pose_graph as pg
 from lins_tpu.mapping import keyframes as kf
 from lins_tpu.mapping.scan2map import scan_to_map
 from lins_tpu.ops.voxel import voxel_downsample
@@ -35,6 +37,8 @@ class MapperState(NamedTuple):
     bef_quat: jnp.ndarray
     aft_pos: jnp.ndarray   # refined pose at last correction
     aft_quat: jnp.ndarray
+    edges: "pg.EdgeSet"    # pose-graph factors (odometry + loop)
+    n_loops: jnp.ndarray   # scalar int32
 
 
 def init_mapper(cfg: SlamConfig, corner_cap=1024, surf_cap=4096,
@@ -42,7 +46,9 @@ def init_mapper(cfg: SlamConfig, corner_cap=1024, surf_cap=4096,
     z = jnp.zeros(3, dtype)
     e = so3.quat_identity(dtype)
     return MapperState(store=kf.empty_store(cfg, corner_cap, surf_cap, dtype),
-                       bef_pos=z, bef_quat=e, aft_pos=z, aft_quat=e)
+                       bef_pos=z, bef_quat=e, aft_pos=z, aft_quat=e,
+                       edges=pg.empty_edges(cfg.max_keyframes + 128, dtype),
+                       n_loops=jnp.int32(0))
 
 
 def warm_start(state: MapperState, odo_pos, odo_quat):
@@ -106,11 +112,52 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
     store = jax.tree_util.tree_map(
         lambda a, b: jnp.where(add, a, b), new_store, state.store)
 
+    # odometry between-factor prev_kf -> new_kf
+    # (saveKeyFramesAndFactor, lidar_mapping_node.cpp:1693-1703;
+    #  variances 1e-6 rot / ~1e-6 trans, :383-385)
+    prev_i = jnp.maximum(state.store.count - 1, 0)
+    t_rel, q_rel = pg.relative_pose(state.store.pos[prev_i],
+                                    state.store.quat[prev_i], t_m, q_m)
+    new_edges = pg.add_edge(state.edges, prev_i, state.store.count,
+                            t_rel, q_rel, 1.0 / cfg.pg_odom_rot_var,
+                            1.0 / cfg.pg_odom_pos_var)
+    edges = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(add & has_map, a, b), new_edges, state.edges)
+
     new_state = MapperState(store=store, bef_pos=odo_pos, bef_quat=odo_quat,
-                            aft_pos=t_m, aft_quat=q_m)
+                            aft_pos=t_m, aft_quat=q_m, edges=edges,
+                            n_loops=state.n_loops)
     metrics = dict(iters=iters, n_matches=n_sel, keyframe_added=add,
                    warm_dist=jnp.linalg.norm(t_m - t_w))
     return new_state, t_m, q_m, metrics
+
+
+def _loop_step_impl(state: MapperState, time, cfg: SlamConfig,
+                    submap_cap: int, cloud_cap: int, opt_iters: int):
+    """One loop-closure attempt + (on accept) pose-graph re-solve and
+    keyframe pose rewrite (performLoopClosure + correctPoses,
+    lidar_mapping_node.cpp:1114-1186, 1767-1795)."""
+    cur = jnp.maximum(state.store.count - 1, 0)
+    enough = state.store.count > 2
+    idx, found, accepted, t_rel, q_rel, fitness = lc.try_close_loop(
+        state.store, cur, time, cfg, submap_cap, cloud_cap)
+    accepted = accepted & enough
+
+    def apply(_):
+        var = jnp.maximum(fitness * cfg.pg_loop_var_scale,
+                          jnp.asarray(1e-6, fitness.dtype))
+        w = 1.0 / var
+        edges = pg.add_edge(state.edges, idx, cur, t_rel, q_rel, w, w)
+        pos, quat = pg.optimize(state.store.pos, state.store.quat,
+                                state.store.count, edges, opt_iters)
+        store = kf.set_poses(state.store, pos, quat)
+        return state._replace(store=store, edges=edges,
+                              aft_pos=pos[cur], aft_quat=quat[cur],
+                              n_loops=state.n_loops + 1)
+
+    new_state = jax.lax.cond(accepted, apply, lambda _: state, None)
+    info = dict(found=found, accepted=accepted, fitness=fitness, matched=idx)
+    return new_state, info
 
 
 class LinsMapper:
@@ -130,6 +177,11 @@ class LinsMapper:
             surf_cap=surf_cap,
             n_window=n_window or cfg.surrounding_keyframe_search_num,
             map_corner_cap=map_corner_cap, map_surf_cap=map_surf_cap))
+        self._loop_step = jax.jit(partial(
+            _loop_step_impl, cfg=cfg, submap_cap=16384, cloud_cap=8192,
+            opt_iters=8))
+        self.last_loop_time = -np.inf
+        self.loop_info = []
 
     def process(self, time: float, odo_pos, odo_quat,
                 corner_xyz, corner_valid, surf_xyz, surf_valid):
@@ -147,6 +199,19 @@ class LinsMapper:
         self.metrics.append(metrics)
         self.trajectory.append((time, t_m, q_m))
         return t_m, q_m
+
+    def maybe_close_loop(self, time: float):
+        """Attempt loop closure at ~1 Hz (loopClosureThread cadence,
+        lidar_mapping_node.cpp:1033-1041).  Returns the info dict or None."""
+        if not self.cfg.loop_closure_enabled:
+            return None
+        if time - self.last_loop_time < 1.0:
+            return None
+        self.last_loop_time = time
+        self.state, info = self._loop_step(self.state,
+                                           jnp.asarray(time, self.dtype))
+        self.loop_info.append(info)
+        return info
 
     def correction(self):
         """Latest (bef, aft) odometry->map correction for high-rate fusion."""

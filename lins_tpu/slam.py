@@ -42,6 +42,7 @@ class LinsSlam:
             self.mapper.process(t, odo_pos, odo_quat,
                                 corner["xyz"], corner["valid"],
                                 surf["xyz"], surf["valid"])
+            self.mapper.maybe_close_loop(t)
             # high-rate fused output (transform_fusion_node)
             pos, quat = warm_start(self.mapper.state, odo_pos, odo_quat)
         else:
