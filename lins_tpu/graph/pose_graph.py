@@ -101,51 +101,65 @@ def optimize(pos, quat, n_nodes, edges: EdgeSet, iters: int = 8,
 
     def gn_iter(_, state):
         pos, quat = state
-        p_i, q_i = pos[edges.i], quat[edges.i]
-        p_j, q_j = pos[edges.j], quat[edges.j]
-
-        r, Ji, Jj, w = jax.vmap(_edge_blocks)(
-            p_i, q_i, p_j, q_j, edges.t, edges.q, edges.w_rot, edges.w_pos)
-        ok = edges.valid[:, None]
-        rw = jnp.where(edges.valid[:, None], r * w, 0.0)
-        Jiw = jnp.where(ok[..., None], Ji * w[:, :, None], 0.0)
-        Jjw = jnp.where(ok[..., None], Jj * w[:, :, None], 0.0)
-        Ji_m = jnp.where(ok[..., None], Ji, 0.0)
-        Jj_m = jnp.where(ok[..., None], Jj, 0.0)
-
-        # block scatter into dense H (6K, 6K) and g (6K,)
-        Hii = jnp.einsum("eri,erj->eij", Jiw, Ji_m)
-        Hij = jnp.einsum("eri,erj->eij", Jiw, Jj_m)
-        Hji = jnp.einsum("eri,erj->eij", Jjw, Ji_m)
-        Hjj = jnp.einsum("eri,erj->eij", Jjw, Jj_m)
-        gi = jnp.einsum("eri,er->ei", Ji_m, rw)
-        gj = jnp.einsum("eri,er->ei", Jj_m, rw)
-
-        H = jnp.zeros((K, 6, K, 6), dtype)
-        H = H.at[edges.i, :, edges.i, :].add(Hii)
-        H = H.at[edges.i, :, edges.j, :].add(Hij)
-        H = H.at[edges.j, :, edges.i, :].add(Hji)
-        H = H.at[edges.j, :, edges.j, :].add(Hjj)
-        g = jnp.zeros((K, 6), dtype)
-        g = g.at[edges.i].add(gi)
-        g = g.at[edges.j].add(gj)
-
-        # gauge prior on node 0 + damping; pin inactive nodes
-        diag_w = jnp.where(node_ids == 0, prior_w,
-                           jnp.where(active, damping, prior_w))
-        H = H.reshape(6 * K, 6 * K)
-        H = H + jnp.diag(jnp.repeat(diag_w, 6).astype(dtype))
-
-        dx = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(H), g.reshape(-1)).reshape(K, 6)
-        dx = jnp.where(active[:, None], dx, 0.0)
-
+        H, g = build_normal_system(pos, quat, edges)
+        dx = solve_and_clamp(H, g, active, prior_w, damping)
         quat_new = so3.quat_normalize(
             so3.quat_mul(quat, so3.exp_axis(dx[:, 0:3])))
         pos_new = pos + dx[:, 3:6]
         return pos_new, quat_new
 
     return jax.lax.fori_loop(0, iters, gn_iter, (pos, quat))
+
+
+def build_normal_system(pos, quat, edges: EdgeSet):
+    """Dense block normal equations (H (K,6,K,6), g (K,6)) from an edge set.
+
+    Pure edge-parallel reduction — the distributed solver shards edges over
+    devices, runs this per shard, and psum-reduces the outputs."""
+    K = pos.shape[0]
+    dtype = pos.dtype
+    p_i, q_i = pos[edges.i], quat[edges.i]
+    p_j, q_j = pos[edges.j], quat[edges.j]
+
+    r, Ji, Jj, w = jax.vmap(_edge_blocks)(
+        p_i, q_i, p_j, q_j, edges.t, edges.q, edges.w_rot, edges.w_pos)
+    ok = edges.valid[:, None]
+    rw = jnp.where(edges.valid[:, None], r * w, 0.0)
+    Jiw = jnp.where(ok[..., None], Ji * w[:, :, None], 0.0)
+    Jjw = jnp.where(ok[..., None], Jj * w[:, :, None], 0.0)
+    Ji_m = jnp.where(ok[..., None], Ji, 0.0)
+    Jj_m = jnp.where(ok[..., None], Jj, 0.0)
+
+    Hii = jnp.einsum("eri,erj->eij", Jiw, Ji_m)
+    Hij = jnp.einsum("eri,erj->eij", Jiw, Jj_m)
+    Hji = jnp.einsum("eri,erj->eij", Jjw, Ji_m)
+    Hjj = jnp.einsum("eri,erj->eij", Jjw, Jj_m)
+    gi = jnp.einsum("eri,er->ei", Ji_m, rw)
+    gj = jnp.einsum("eri,er->ei", Jj_m, rw)
+
+    H = jnp.zeros((K, 6, K, 6), dtype)
+    H = H.at[edges.i, :, edges.i, :].add(Hii)
+    H = H.at[edges.i, :, edges.j, :].add(Hij)
+    H = H.at[edges.j, :, edges.i, :].add(Hji)
+    H = H.at[edges.j, :, edges.j, :].add(Hjj)
+    g = jnp.zeros((K, 6), dtype)
+    g = g.at[edges.i].add(gi)
+    g = g.at[edges.j].add(gj)
+    return H, g
+
+
+def solve_and_clamp(H, g, active, prior_w, damping):
+    """Add gauge prior/damping, Cholesky-solve, zero inactive updates."""
+    K = g.shape[0]
+    dtype = g.dtype
+    node_ids = jnp.arange(K)
+    diag_w = jnp.where(node_ids == 0, prior_w,
+                       jnp.where(active, damping, prior_w))
+    Hd = H.reshape(6 * K, 6 * K) + jnp.diag(
+        jnp.repeat(diag_w, 6).astype(dtype))
+    dx = -jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(Hd), g.reshape(-1)).reshape(K, 6)
+    return jnp.where(active[:, None], dx, 0.0)
 
 
 def graph_cost(pos, quat, edges: EdgeSet):

@@ -1,0 +1,75 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md §4.4):
+sharded-vs-single-device invariance, batched replay sharding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lins_tpu.config import VLP16
+from lins_tpu.geom import so3
+from lins_tpu.graph import add_edge, empty_edges, graph_cost, optimize
+from lins_tpu.graph import pose_graph as pg
+from lins_tpu.parallel.dist_graph import make_sharded_optimizer, pad_edges
+from lins_tpu.parallel.replay import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def chain_graph(n=24, K=32, drift=0.03, seed=0):
+    rng = np.random.default_rng(seed)
+    edges = empty_edges(64, jnp.float64)
+    e = jnp.asarray([1.0, 0, 0, 0], jnp.float64)
+    gt = np.cumsum(np.tile([1.0, 0, 0], (n, 1)), axis=0) - [1, 0, 0]
+    for k in range(n - 1):
+        edges = add_edge(edges, k, k + 1, jnp.asarray([1.0, 0, 0]), e,
+                         1e4, 1e4)
+    # loop edge from end to start
+    edges = add_edge(edges, n - 1, 0,
+                     jnp.asarray(gt[0] - gt[n - 1], jnp.float64), e, 1e4, 1e4)
+    init = gt + rng.normal(0, drift, gt.shape).cumsum(axis=0)
+    pos = jnp.zeros((K, 3), jnp.float64).at[:n].set(jnp.asarray(init))
+    quat = jnp.zeros((K, 4), jnp.float64).at[:, 0].set(1.0)
+    return pos, quat, n, edges
+
+
+class TestShardedPoseGraph:
+    def test_matches_single_device(self):
+        mesh = make_mesh(8)
+        pos, quat, n, edges = chain_graph()
+        K = pos.shape[0]
+
+        p1, q1 = optimize(pos, quat, jnp.int32(n), edges, iters=6)
+        opt = make_sharded_optimizer(mesh, K, iters=6)
+        p8, q8 = opt(pos, quat, n, edges)
+
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-8)
+        dot = np.abs(np.sum(np.asarray(q8) * np.asarray(q1), axis=1))
+        np.testing.assert_allclose(dot, 1.0, atol=1e-8)
+
+    def test_cost_decreases(self):
+        mesh = make_mesh(8)
+        pos, quat, n, edges = chain_graph(drift=0.05)
+        opt = make_sharded_optimizer(mesh, pos.shape[0], iters=8)
+        p8, q8 = opt(pos, quat, n, edges)
+        c0 = float(graph_cost(pos, quat, edges))
+        c1 = float(graph_cost(jnp.asarray(p8), jnp.asarray(q8), edges))
+        assert c1 < 1e-3 * c0
+
+    def test_pad_edges(self):
+        edges = empty_edges(10)
+        padded = pad_edges(edges, 8)
+        assert padded.i.shape[0] == 16
+        assert not bool(padded.valid[10:].any())
+
+
+class TestBatchedReplay:
+    def test_dryrun_entry(self):
+        import __graft_entry__ as g
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out[0].shape == (3,)
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)
