@@ -60,8 +60,7 @@ def make_sharded_optimizer(mesh: Mesh, K: int, iters: int = 8,
         w_pos=P(axis), valid=P(axis), count=P())
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), edge_spec), out_specs=(P(), P()),
-             check_rep=False)
+             in_specs=(P(), P(), P(), edge_spec), out_specs=(P(), P()))
     def run(pos, quat, n_nodes, edges):
         active = jnp.arange(K) < n_nodes
 
