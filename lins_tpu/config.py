@@ -70,6 +70,12 @@ class SlamConfig:
     # --- initial biases / extrinsics (exp_port.yaml:64-90) ---
     init_ba: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     init_bw: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # static IMU bias calibration (exp_port.yaml:4-6; the reference's
+    # performImuBiasEstimation is vestigial/commented, Estimator.cpp:322-348 —
+    # implemented here as intended: average the first `average_nums` samples
+    # at rest, ba = mean(acc) - (0,0,g), bw = mean(gyr))
+    calibrate_imu: bool = False
+    average_nums: int = 100
     imu_lidar_extrinsic_angle: float = 0.0   # deg, yaw lidar->vehicle
     imu_misalign_angle: float = 0.0          # deg, yaw imu->vehicle
 
@@ -234,4 +240,24 @@ HDL64 = SlamConfig(  # KITTI-style HDL-64E
     max_points=150000,
 )
 
-PRESETS = {"vlp16": VLP16, "os1_64": OS1_64, "hdl64": HDL64}
+# Reduced-resolution sensor for fast CPU integration tests and long-horizon
+# golden runs (8 rings x 450 cols keeps every pipeline stage semantically
+# identical while shrinking grid work ~8x)
+TINY = SlamConfig(
+    line_num=8,
+    scan_num=450,
+    ang_res_x=0.8,
+    ang_res_y=4.0,
+    ang_bottom=15.1,
+    ground_scan_ind=3,
+    segment_valid_line_num=2,
+    max_points=3600,
+    max_sharp=96,
+    max_less_sharp=512,
+    max_flat=192,
+    max_less_flat=1536,
+    max_outlier=512,
+    max_keyframes=128,
+)
+
+PRESETS = {"vlp16": VLP16, "os1_64": OS1_64, "hdl64": HDL64, "tiny": TINY}

@@ -167,7 +167,7 @@ full_scan_step = jax.jit(full_scan_step_impl, static_argnames=("cfg",))
 @partial(jax.jit, static_argnames=("cfg",))
 def second_scan_step(feats: ScanFeatures, last_surf, last_corner,
                      preint: pre.Preintegration, imu_acc, imu_gyr,
-                     cfg: SlamConfig):
+                     ba0, bw0, cfg: SlamConfig):
     """Two-scan bootstrap (processSecondScan, StateEstimator.hpp:379-425)."""
     dtype = preint.delta_p.dtype
     gn = jnp.asarray([0.0, 0.0, -cfg.gravity], dtype)
@@ -179,10 +179,10 @@ def second_scan_step(feats: ScanFeatures, last_surf, last_corner,
         pl, ql, feats.flat, feats.sharp, last_surf, last_corner, cfg)
 
     # initial velocity from relative translation (estimateInitialState,
-    # StateEstimator.hpp:1408-1419)
+    # StateEstimator.hpp:1408-1419); biases from config or static calibration
     v = rn / jnp.maximum(preint.sum_dt, 1e-6)
-    ba0 = jnp.asarray(cfg.init_ba, dtype)
-    bw0 = jnp.asarray(cfg.init_bw, dtype)
+    ba0 = jnp.asarray(ba0, dtype)
+    bw0 = jnp.asarray(bw0, dtype)
 
     roll, pitch = eskf.calculate_rp_from_gravity(imu_acc - ba0, cfg.gravity)
     g = NominalState(
@@ -243,10 +243,27 @@ class LinsOdometry:
         # alignIMUtoVehicle: out = R(0,0,yaw)ᵀ in (Estimator.cpp:286-292)
         self._R_mis_T = np.asarray([[c, s, 0], [-s, c, 0], [0, 0, 1]])
 
+        # static IMU bias calibration (intended behavior of the reference's
+        # commented-out performImuBiasEstimation, Estimator.cpp:322-348)
+        self._calib_sum_a = np.zeros(3)
+        self._calib_sum_g = np.zeros(3)
+        self._calib_n = 0
+        self.estimated_ba = np.asarray(cfg.init_ba, float)
+        self.estimated_bw = np.asarray(cfg.init_bw, float)
+        self.imu_calibrated = not cfg.calibrate_imu
+
     # ------------------------------------------------------------------ IMU
     def add_imu(self, t: float, acc, gyr):
         acc = self._R_mis_T @ np.asarray(acc, float)
         gyr = self._R_mis_T @ np.asarray(gyr, float)
+        if not self.imu_calibrated:
+            self._calib_sum_a += acc - np.asarray([0.0, 0.0, self.cfg.gravity])
+            self._calib_sum_g += gyr
+            self._calib_n += 1
+            if self._calib_n >= self.cfg.average_nums:
+                self.estimated_ba = self._calib_sum_a / self._calib_n
+                self.estimated_bw = self._calib_sum_g / self._calib_n
+                self.imu_calibrated = True
         self._imu_t.append(float(t))
         self._imu_a.append(acc)
         self._imu_g.append(gyr)
@@ -316,13 +333,13 @@ class LinsOdometry:
         if self.status == STATUS_INIT:
             if n_corner < 10 or n_surf < 100:
                 return None
-            if self._last_imu is None:
+            if self._last_imu is None or not self.imu_calibrated:
                 return None
             acc0, gyr0 = self._last_imu
             self.filter_state = eskf.initial_state(
                 self.cfg, time=t, acc=acc0, gyr=gyr0, dtype=self.dtype)
             self.preint = pre.init_preintegration(
-                acc0, gyr0, self.cfg.init_ba, self.cfg.init_bw,
+                acc0, gyr0, self.estimated_ba, self.estimated_bw,
                 dtype=self.dtype)
             self.last_corner = _feature_ref(feats.less_sharp, self.dtype)
             self.last_surf = _feature_ref(feats.less_flat, self.dtype)
@@ -342,7 +359,8 @@ class LinsOdometry:
              self.last_corner, rel_rn, rel_qbn) = second_scan_step(
                 feats, self.last_surf, self.last_corner, self.preint,
                 jnp.asarray(acc_l, self.dtype), jnp.asarray(gyr_l, self.dtype),
-                self.cfg)
+                jnp.asarray(self.estimated_ba, self.dtype),
+                jnp.asarray(self.estimated_bw, self.dtype), self.cfg)
             self.filter_state = self.filter_state._replace(
                 time=jnp.asarray(t, self.dtype))
             self.time = t

@@ -1,0 +1,123 @@
+"""Long-horizon SLAM integration on the TINY sensor preset: mapping drift
+reduction over many scans, checkpoint/resume continuity, IMU calibration."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lins_tpu.config import TINY, VLP16
+from lins_tpu.datasets import synthetic as syn
+from lins_tpu.geom import so3
+from lins_tpu.slam import LinsSlam, ate_rmse, run_sequence
+
+
+@pytest.fixture(scope="module")
+def tiny_seq():
+    return syn.generate_sequence(TINY, n_scans=40, kind="turny", speed=1.0)
+
+
+def feed(slam, data, start=0, end=None):
+    cfg = slam.cfg
+    end = end or len(data["scans_xyz"])
+    imu_t = data["imu_times"]
+    for k in range(start, end):
+        t_scan = float(data["scan_times"][k]) + cfg.scan_period
+        lo = (imu_t > (data["scan_times"][start] if k == start else t_prev))
+        hi = imu_t <= t_scan + 1e-9
+        for i in np.nonzero(lo & hi)[0]:
+            slam.add_imu(imu_t[i], data["imu_acc"][i], data["imu_gyr"][i])
+        slam.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
+        t_prev = t_scan
+    return slam
+
+
+class TestLongHorizon:
+    def test_mapping_bounds_drift(self, tiny_seq):
+        data = tiny_seq
+        R0 = np.asarray(so3.quat_to_mat(jnp.asarray(data["gt_quat"][0],
+                                                    jnp.float64)))
+        p0 = data["gt_pos"][0]
+
+        def run(mapping):
+            slam = LinsSlam(TINY, enable_mapping=mapping, corner_cap=256,
+                            surf_cap=1024, map_corner_cap=4096,
+                            map_surf_cap=8192)
+            run_sequence(slam, data)
+            ts, ps, qs = slam.trajectory_arrays()
+            return ate_rmse(ps, data["gt_pos"][1:1 + len(ps)], (R0, p0))
+
+        ate_odo = run(False)
+        ate_map = run(True)
+        assert ate_map < 0.5 * ate_odo
+        assert ate_map < 0.2
+
+
+class TestCheckpointResume:
+    def test_resume_continues_trajectory(self, tiny_seq):
+        from lins_tpu.utils import checkpoint as ckpt
+
+        data = tiny_seq
+        n_split, n_total = 20, 28
+
+        # continuous run
+        slam_a = LinsSlam(TINY, enable_mapping=True, corner_cap=256,
+                          surf_cap=1024, map_corner_cap=4096,
+                          map_surf_cap=8192)
+        run_sequence(slam_a, data, n_total)
+        _, ps_a, _ = slam_a.trajectory_arrays()
+
+        # split run with checkpoint in the middle
+        slam_b = LinsSlam(TINY, enable_mapping=True, corner_cap=256,
+                          surf_cap=1024, map_corner_cap=4096,
+                          map_surf_cap=8192)
+        run_sequence(slam_b, data, n_split)
+        import tempfile, os
+        path = os.path.join(tempfile.mkdtemp(), "state.npz")
+        ckpt.save_state(path, slam_b.odometry, slam_b.mapper)
+
+        slam_c = LinsSlam(TINY, enable_mapping=True, corner_cap=256,
+                          surf_cap=1024, map_corner_cap=4096,
+                          map_surf_cap=8192)
+        ckpt.load_state(path, slam_c.odometry, slam_c.mapper)
+        # continue feeding scans n_split..n_total (with their imu)
+        cfg = TINY
+        imu_t = data["imu_times"]
+        t_prev = float(data["scan_times"][n_split - 1]) + cfg.scan_period
+        for k in range(n_split, n_total):
+            t_scan = float(data["scan_times"][k]) + cfg.scan_period
+            for i in np.nonzero((imu_t > t_prev - 0.11)
+                                & (imu_t <= t_scan + 1e-9))[0]:
+                slam_c.add_imu(imu_t[i], data["imu_acc"][i],
+                               data["imu_gyr"][i])
+            slam_c.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
+            t_prev = t_scan
+        _, ps_c, _ = slam_c.trajectory_arrays()
+
+        # final pose of the resumed run close to the continuous run
+        err = np.linalg.norm(ps_c[-1] - ps_a[-1])
+        assert err < 0.05, err
+
+
+class TestImuCalibration:
+    def test_static_bias_estimation(self):
+        cfg = TINY.replace(calibrate_imu=True, average_nums=50)
+        from lins_tpu.odometry import LinsOdometry
+        odo = LinsOdometry(cfg)
+        rng = np.random.default_rng(0)
+        true_ba = np.asarray([0.05, -0.03, 0.02])
+        true_bw = np.asarray([0.01, 0.004, -0.008])
+        for i in range(60):
+            acc = [0, 0, 9.81] + true_ba + rng.normal(0, 1e-4, 3)
+            gyr = true_bw + rng.normal(0, 1e-5, 3)
+            odo.add_imu(i * 0.0025, acc, gyr)
+        assert odo.imu_calibrated
+        np.testing.assert_allclose(odo.estimated_ba, true_ba, atol=1e-3)
+        np.testing.assert_allclose(odo.estimated_bw, true_bw, atol=1e-4)
+
+    def test_blocks_init_until_calibrated(self):
+        cfg = TINY.replace(calibrate_imu=True, average_nums=1000)
+        from lins_tpu.odometry import LinsOdometry
+        data = syn.generate_sequence(TINY, n_scans=1, kind="static", speed=0.0)
+        odo = LinsOdometry(cfg)
+        odo.add_imu(0.0, [0, 0, 9.81], [0, 0, 0])
+        out = odo.add_scan(0.1, data["scans_xyz"][0], data["scans_n"][0])
+        assert out is None and odo.status == 0
