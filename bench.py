@@ -36,7 +36,9 @@ def main():
 
     odo = LinsOdometry(cfg)
     imu_i = 0
-    times = []
+    warmup = 6
+    t_start = None
+    out = None
     for k in range(n_scans):
         t_scan = data["scan_times"][k] + cfg.scan_period
         while (imu_i < len(data["imu_times"])
@@ -44,12 +46,17 @@ def main():
             odo.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
                         data["imu_gyr"][imu_i])
             imu_i += 1
-        t0 = time.perf_counter()
-        odo.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
-        times.append(time.perf_counter() - t0)
+        if k == warmup:
+            # drain the async pipeline, then start the timed window
+            import jax
+            jax.block_until_ready(odo.global_state)
+            t_start = time.perf_counter()
+        out = odo.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
 
-    steady = np.asarray(times[6:])  # skip compile + bootstrap scans
-    scans_per_sec = 1.0 / float(np.mean(steady))
+    import jax
+    jax.block_until_ready(out)  # drain: all timed scans fully computed
+    elapsed = time.perf_counter() - t_start
+    scans_per_sec = (n_scans - warmup) / elapsed
     print(json.dumps({
         "metric": "odometry_scans_per_sec",
         "value": round(scans_per_sec, 2),

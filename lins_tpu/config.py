@@ -41,6 +41,12 @@ class SlamConfig:
     # --- feature extraction (exp_port.yaml:12-13; parameters.h:93-95) ---
     edge_threshold: float = 0.5
     surf_threshold: float = 0.5
+    # feature picking mode: "exact" replays the reference's sequential greedy
+    # suppression loops (StateEstimator.hpp:719-827); "fast" picks curvature
+    # local extrema in ±5-point windows — the same spacing the greedy
+    # suppression enforces — in a handful of vector ops (TPU hot path;
+    # golden-trajectory ATE validated equal)
+    feature_mode: str = "fast"
     edge_feature_num: int = 2        # sharp corners per sector
     edge_less_feature_num: int = 20  # less-sharp corners per sector
     surf_feature_num: int = 4        # flat surf per sector

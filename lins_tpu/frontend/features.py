@@ -38,17 +38,23 @@ def compact_rings(xyz_img, rng_img, seg_valid, ground, start, diff,
     L, S = cfg.line_num, cfg.scan_num
     cols = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (L, S))
 
-    # stable per-ring compaction: order by (not selected, column)
-    key = jnp.where(seg_valid, cols, S + cols)
-    order = jnp.argsort(key, axis=1)
+    # stable per-ring compaction via prefix-sum scatter (fastest measured
+    # variant on TPU vs argsort-gather and searchsorted-gather)
+    pos = jnp.cumsum(seg_valid.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(seg_valid, pos, S)
+    rows = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, S))
 
-    take = jnp.take_along_axis
-    xyz_c = take(xyz_img, order[..., None], axis=1)
-    rng_c = take(rng_img, order, axis=1)
-    grd_c = take(ground, order, axis=1)
-    col_c = take(cols, order, axis=1)
-    valid_c = take(seg_valid, order, axis=1)
+    def scatter_rows(vals, fill=0):
+        out_shape = vals.shape[:1] + (S + 1,) + vals.shape[2:]
+        out = jnp.full(out_shape, fill, vals.dtype)
+        return out.at[rows, tgt].set(vals)[:, :S]
+
+    xyz_c = scatter_rows(xyz_img)
+    rng_c = scatter_rows(rng_img)
+    grd_c = scatter_rows(ground, False)
+    col_c = scatter_rows(cols)
     count = jnp.sum(seg_valid.astype(jnp.int32), axis=1)
+    valid_c = jnp.arange(S)[None, :] < count[:, None]
 
     # extrinsic yaw rotation (rotatePoint): lidar frame -> vehicle frame
     yaw = jnp.asarray(so3.deg2rad(cfg.imu_lidar_extrinsic_angle), xyz_c.dtype)
@@ -207,8 +213,123 @@ def extract_ring(ring: dict, cfg: SlamConfig):
 
 
 # ---------------------------------------------------------------------------
+# Fast extraction: local-extrema picking (TPU hot path)
+# ---------------------------------------------------------------------------
+
+def _window_extreme(x, radius, mode):
+    """Per-position max/min of x over a ±radius window along axis 1."""
+    out = x
+    for k in range(1, radius + 1):
+        a = jnp.roll(x, k, axis=1)
+        b = jnp.roll(x, -k, axis=1)
+        if mode == "max":
+            out = jnp.maximum(out, jnp.maximum(a, b))
+        else:
+            out = jnp.minimum(out, jnp.minimum(a, b))
+    return out
+
+
+def extract_features_fast(seg: SegmentedScan, cfg: SlamConfig):
+    """Vectorized feature picking: curvature local extrema in ±5 windows.
+
+    The reference's greedy suppression admits at most one pick per ±5-point
+    neighborhood (StateEstimator.hpp:763-777); window local-extrema picking
+    enforces the same spacing in ~60 vector ops with no sequential loops.
+    Per-sector caps (2 sharp / 20 less-sharp / 4 flat) apply in column order;
+    sharp = the per-sector top-2 local maxima by curvature.
+    Returns (label (L,S) int32, less_flat mask) like extract_ring.
+    """
+    L, S = seg.rng.shape
+    counts = seg.count
+    idx = jnp.arange(S)[None, :]
+
+    curv, curv_ok = jax.vmap(curvature_ring)(seg.rng, counts)
+    occl = jax.vmap(occlusion_ring)(seg.rng, seg.col, counts)
+
+    s_idx = 5
+    e_idx = (counts - 6)[:, None]
+    in_range = (idx >= s_idx) & (idx <= e_idx) & curv_ok & seg.valid
+
+    # sector ids over the compacted per-ring layout
+    span = jnp.maximum(e_idx - s_idx + 1, 1)
+    sector_id_f = jnp.clip((idx - s_idx) * 6 // jnp.maximum(span, 1), 0, 5)
+
+    # --- corners ---
+    cand_c = in_range & ~occl & (curv > cfg.edge_threshold) & ~seg.ground
+    cmax = _window_extreme(jnp.where(cand_c, curv, -1.0), 5, "max")
+    pick_c = cand_c & (curv >= cmax)
+    # break ties in a window: keep the first of any tied pair
+    tie = pick_c & jnp.roll(pick_c, 1, axis=1) & (
+        jnp.abs(curv - jnp.roll(curv, 1, axis=1)) < 1e-12)
+    pick_c = pick_c & ~tie
+
+    # less-sharp cap (20) per sector, column order
+    less_sharp = jnp.zeros_like(pick_c)
+    sharp = jnp.zeros_like(pick_c)
+    lab = jnp.zeros((L, S), jnp.int32)
+    for sct in range(cfg.sections_total):
+        m = pick_c & (sector_id_f == sct)
+        m20 = _cap_per_ring(m, cfg.edge_less_feature_num)
+        less_sharp = less_sharp | m20
+        # top-2 by curvature within the sector
+        cv = jnp.where(m20, curv, -1.0)
+        m1 = cv >= jnp.max(cv, axis=1, keepdims=True)
+        m1 = m1 & m20 & (jnp.cumsum(m1 & m20, axis=1) == 1)
+        cv2 = jnp.where(m20 & ~m1, curv, -1.0)
+        m2 = cv2 >= jnp.max(cv2, axis=1, keepdims=True)
+        m2 = m2 & m20 & ~m1 & (jnp.cumsum(m2 & m20 & ~m1, axis=1) == 1)
+        sharp = sharp | (m1 & (jnp.max(cv, axis=1, keepdims=True) > 0)) \
+            | (m2 & (jnp.max(cv2, axis=1, keepdims=True) > 0))
+
+    # --- flats: spaced low-curvature ground points, 4 per sector ---
+    # (on flat ground the reference's greedy-min + ±5 suppression reduces to
+    # picking every 6th candidate — the spacing rule reproduces that exactly
+    # and stays within the curvature threshold in general)
+    cand_f = in_range & ~occl & (curv < cfg.surf_threshold) & seg.ground
+    flat = jnp.zeros_like(cand_f)
+    for sct in range(cfg.sections_total):
+        m = cand_f & (sector_id_f == sct)
+        rank = jnp.cumsum(m.astype(jnp.int32), axis=1) - 1
+        spaced = m & (rank % 6 == 0)
+        flat = flat | _cap_per_ring(spaced, cfg.surf_feature_num)
+
+    lab = jnp.where(sharp, 2, jnp.where(less_sharp, 1,
+                                        jnp.where(flat, -1, 0)))
+    less_flat_mask = in_range & (lab <= 0)
+    return lab, less_flat_mask
+
+
+def _cap_per_ring(mask, cap):
+    """Keep the first `cap` True entries per ring (column order)."""
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    return mask & (rank < cap)
+
+
+# ---------------------------------------------------------------------------
 # Voxel downsampling (per ring, centroid per voxel — pcl::VoxelGrid analogue)
 # ---------------------------------------------------------------------------
+
+def voxel_mask_hash(xyz, mask, leaf, table: int = 1 << 14):
+    """O(n) sort-free voxel thinning: keep the first masked point of each
+    occupied voxel via a scatter-min hash table.
+
+    Trades the reference's per-voxel centroid for first-point-per-voxel
+    (rare hash collisions drop points rather than corrupt them) — the TPU
+    hot path; golden ATE validated against the centroid version.
+    Returns a thinned boolean mask of xyz's leading shape.
+    """
+    shape = mask.shape
+    x = xyz.reshape(-1, 3)
+    m = mask.reshape(-1)
+    n = x.shape[0]
+    v = jnp.floor(x / leaf).astype(jnp.int32)
+    h = ((v[:, 0] * 73856093) ^ (v[:, 1] * 19349663)
+         ^ (v[:, 2] * 83492791)) & (table - 1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(m, idx, n)
+    tbl = jnp.full((table,), n, jnp.int32).at[h].min(key)
+    keep = m & (tbl[h] == idx)
+    return keep.reshape(shape)
 
 def voxel_downsample_ring(xyz, rel, mask, leaf):
     """Centroid-per-voxel downsample of one ring's masked points.
@@ -258,29 +379,41 @@ def voxel_downsample_ring(xyz, rel, mask, leaf):
 # ---------------------------------------------------------------------------
 
 def _compact(xyz, rel, mask, cap):
-    """Gather masked entries of an (L,S,...) set into a (cap,...) cloud."""
+    """Compact masked entries of an (L,S,...) set into a (cap,...) cloud via
+    searchsorted gather (stable, no sort, no scatter)."""
     L, S = mask.shape
     rings = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, S))
-    flat_mask = mask.reshape(-1)
-    order = jnp.argsort(~flat_mask)  # stable: valid first, original order kept
-    sel = order[:cap]
+    fm = mask.reshape(-1)
+    c = jnp.cumsum(fm.astype(jnp.int32))
+    src = jnp.minimum(jnp.searchsorted(
+        c, jnp.arange(1, cap + 1, dtype=jnp.int32)), L * S - 1)
+    n = jnp.minimum(c[-1], cap)
+
     return FeatureCloud(
-        xyz=xyz.reshape(-1, 3)[sel],
-        rel_time=rel.reshape(-1)[sel],
-        ring=rings.reshape(-1)[sel],
-        valid=flat_mask[sel],
+        xyz=xyz.reshape(-1, 3)[src],
+        rel_time=rel.reshape(-1)[src],
+        ring=rings.reshape(-1)[src],
+        valid=jnp.arange(cap) < n,
     )
 
 
 def extract_features(seg: SegmentedScan, outlier_xyz, outlier_mask,
                      cfg: SlamConfig) -> ScanFeatures:
-    """All feature sets for a segmented scan (vmapped over rings)."""
-    label, less_flat_mask = jax.vmap(partial(extract_ring, cfg=cfg))(
-        dict(rng=seg.rng, col=seg.col, ground=seg.ground,
-             valid=seg.valid, count=seg.count))
+    """All feature sets for a segmented scan."""
+    if cfg.feature_mode == "fast":
+        label, less_flat_mask = extract_features_fast(seg, cfg)
+    else:
+        label, less_flat_mask = jax.vmap(partial(extract_ring, cfg=cfg))(
+            dict(rng=seg.rng, col=seg.col, ground=seg.ground,
+                 valid=seg.valid, count=seg.count))
 
-    vds = jax.vmap(partial(voxel_downsample_ring, leaf=cfg.surf_leaf_size))
-    lf_xyz, lf_rel, lf_mask = vds(seg.xyz, seg.rel_time, less_flat_mask)
+    if cfg.feature_mode == "fast":
+        lf_mask = voxel_mask_hash(seg.xyz, less_flat_mask, cfg.surf_leaf_size)
+        lf_xyz, lf_rel = seg.xyz, seg.rel_time
+    else:
+        vds = jax.vmap(partial(voxel_downsample_ring,
+                               leaf=cfg.surf_leaf_size))
+        lf_xyz, lf_rel, lf_mask = vds(seg.xyz, seg.rel_time, less_flat_mask)
 
     sharp = _compact(seg.xyz, seg.rel_time, label == 2, cfg.max_sharp)
     less_sharp = _compact(seg.xyz, seg.rel_time, label >= 1, cfg.max_less_sharp)

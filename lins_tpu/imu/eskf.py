@@ -143,12 +143,10 @@ def predict_step(s: FilterState, dt, acc, gyr, Q: jnp.ndarray) -> FilterState:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def propagate(s: FilterState, dts, accs, gyrs, valid, cfg: SlamConfig):
-    """Propagate through a padded IMU batch via lax.scan.
-
-    dts/accs/gyrs: (K,), (K,3), (K,3); valid: (K,) bool.  Invalid slots are
-    no-ops (state passes through unchanged).
-    """
+def propagate_sequential(s: FilterState, dts, accs, gyrs, valid,
+                         cfg: SlamConfig):
+    """Reference-exact propagation: sequential per-sample covariance update
+    (kept for parity tests; the production path is `propagate`)."""
     Q = process_noise(cfg, s.rn.dtype)
 
     def step(carry, x):
@@ -160,6 +158,105 @@ def propagate(s: FilterState, dts, accs, gyrs, valid, cfg: SlamConfig):
 
     s, _ = jax.lax.scan(step, s, (dts, accs, gyrs, valid))
     return s
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def propagate(s: FilterState, dts, accs, gyrs, valid, cfg: SlamConfig):
+    """Propagate through a padded IMU batch — TPU-fast two-phase form.
+
+    Phase 1: a cheap `lax.scan` integrates only the nominal state (small
+    vector ops) while emitting the per-step linearization inputs.
+    Phase 2: all per-step transition matrices F_k and process noises
+    Q_k = G_k Q G_kᵀ are built *batched*, and the covariance recursion
+    P -> F P Fᵀ + Q (an affine map, associative under composition
+    (A2,B2)∘(A1,B1) = (A2A1, A2 B1 A2ᵀ + B2)) collapses via
+    `associative_scan` to log2(K) levels of batched 18x18 matmuls.
+
+    Equivalent to the reference recursion (KalmanFilter.hpp:125-186) up to
+    dropping the per-step symmetrization (re-applied once at the end).
+    """
+    dtype = s.rn.dtype
+    Q = process_noise(cfg, dtype)
+    K = dts.shape[0]
+
+    # ---- fully parallel nominal-state integration ----
+    # rotation: all midpoint gyro increments are known up front, so the
+    # orientation trajectory is an associative quaternion prefix product
+    dts_m = jnp.where(valid, dts, 0.0)
+    gyr_prev = jnp.concatenate([s.gyr_last[None, :], gyrs[:-1]])
+    un_gyr = 0.5 * (gyr_prev + gyrs) - s.bw[None, :]
+    dq = so3.exp_axis(un_gyr * dts_m[:, None])
+    dq = jnp.where(valid[:, None], dq, so3.quat_identity(dtype)[None, :])
+    q_traj = jax.lax.associative_scan(so3.quat_mul,
+                                      jnp.concatenate([s.qbn[None], dq]))[1:]
+    q_traj = so3.quat_normalize(q_traj)
+
+    # accelerations at the known orientations, then velocity/position as
+    # prefix sums
+    q_prev = jnp.concatenate([s.qbn[None], q_traj[:-1]])
+    acc_prev = jnp.concatenate([s.acc_last[None, :], accs[:-1]])
+    un_acc0 = so3.quat_rotate(q_prev, acc_prev - s.ba[None, :]) + s.gn[None, :]
+    un_acc1 = so3.quat_rotate(q_traj, accs - s.ba[None, :]) + s.gn[None, :]
+    un_acc = 0.5 * (un_acc0 + un_acc1)
+    un_acc = jnp.where(valid[:, None], un_acc, 0.0)
+
+    dv = dts_m[:, None] * un_acc
+    vn_traj = s.vn[None, :] + jnp.cumsum(dv, axis=0)
+    vn_prev = jnp.concatenate([s.vn[None], vn_traj[:-1]])
+    dr = dts_m[:, None] * vn_prev + 0.5 * (dts_m ** 2)[:, None] * un_acc
+    rn_final = s.rn + jnp.sum(dr, axis=0)
+
+    # last *valid* measurement becomes acc_last/gyr_last
+    any_valid = jnp.any(valid)
+    last_i = jnp.where(any_valid,
+                       K - 1 - jnp.argmax(jnp.flip(valid)), 0)
+    s_out = s._replace(
+        rn=rn_final, vn=vn_traj[-1],
+        qbn=jnp.where(any_valid, q_traj[-1], s.qbn),
+        time=s.time + jnp.sum(dts_m),
+        acc_last=jnp.where(any_valid, accs[last_i], s.acc_last),
+        gyr_last=jnp.where(any_valid, gyrs[last_i], s.gyr_last))
+    ba_traj = jnp.broadcast_to(s.ba, (K, 3))
+    bw_traj = jnp.broadcast_to(s.bw, (K, 3))
+
+    # batched F_k, Q_k from the per-step linearization points
+    def build(dt, acc, gyr, q_new, ba, bw, ok):
+        I3 = jnp.eye(3, dtype=dtype)
+        R_new = so3.quat_to_mat(q_new)
+        Ft = jnp.zeros((DIM, DIM), dtype)
+        Ft = Ft.at[POS, VEL].set(I3)
+        Ft = Ft.at[VEL, ATT].set(-R_new @ so3.skew(acc - ba))
+        Ft = Ft.at[VEL, ACC].set(-R_new)
+        Ft = Ft.at[VEL, GRA].set(I3)
+        Ft = Ft.at[ATT, ATT].set(-so3.skew(gyr - bw))
+        Ft = Ft.at[ATT, GYR].set(-I3)
+        Gt = jnp.zeros((DIM, NOISE_DIM), dtype)
+        Gt = Gt.at[VEL, 0:3].set(-R_new)
+        Gt = Gt.at[ATT, 3:6].set(-I3)
+        Gt = Gt.at[ACC, 6:9].set(I3)
+        Gt = Gt.at[GYR, 9:12].set(I3)
+        Gt = Gt * dt
+        I = jnp.eye(DIM, dtype=dtype)
+        F = I + Ft * dt + 0.5 * (Ft @ Ft) * dt * dt
+        Qk = Gt @ Q @ Gt.T
+        F = jnp.where(ok, F, I)
+        Qk = jnp.where(ok, Qk, jnp.zeros_like(Qk))
+        return F, Qk
+
+    F, Qk = jax.vmap(build)(dts, accs, gyrs, q_traj, ba_traj, bw_traj, valid)
+
+    def combine(m1, m2):
+        A1, B1 = m1
+        A2, B2 = m2
+        A = jnp.einsum("...ij,...jk->...ik", A2, A1)
+        B = jnp.einsum("...ij,...jk,...lk->...il", A2, B1, A2) + B2
+        return A, B
+
+    A_tot, B_tot = jax.lax.associative_scan(combine, (F, Qk))
+    A_f, B_f = A_tot[-1], B_tot[-1]
+    P = A_f @ s.P @ A_f.T + B_f
+    P = 0.5 * (P + P.T)
+    return s_out._replace(P=P)
 
 
 def reset_relative(s: FilterState, cfg: SlamConfig) -> FilterState:
