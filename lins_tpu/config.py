@@ -47,6 +47,8 @@ class SlamConfig:
     # suppression enforces — in a handful of vector ops (TPU hot path;
     # golden-trajectory ATE validated equal)
     feature_mode: str = "fast"
+    # run hot ops as Pallas kernels (TPU; falls back to interpret on CPU)
+    use_pallas: bool = False
     edge_feature_num: int = 2        # sharp corners per sector
     edge_less_feature_num: int = 20  # less-sharp corners per sector
     surf_feature_num: int = 4        # flat surf per sector

@@ -25,6 +25,25 @@ def _edge(r_a, r_b, ok_a, ok_b, alpha, theta):
     return ok_a & ok_b & (angle > theta)
 
 
+def edge_masks(rng_img, eligible, cfg: SlamConfig):
+    """4-neighbor adjacency masks under the angle criterion."""
+    S = cfg.scan_num
+    ax = jnp.asarray(cfg.segment_alpha_x, rng_img.dtype)
+    ay = jnp.asarray(cfg.segment_alpha_y, rng_img.dtype)
+    th = jnp.asarray(cfg.segment_theta, rng_img.dtype)
+
+    # horizontal edges (columns wrap): right neighbor of (i,j) is (i, j+1 mod S)
+    r_right = jnp.roll(rng_img, -1, axis=1)
+    e_right = _edge(rng_img, r_right, eligible,
+                    jnp.roll(eligible, -1, axis=1), ax, th)
+    # vertical edges (no wrap): down neighbor of (i,j) is (i+1, j)
+    r_down = jnp.concatenate(
+        [rng_img[1:], jnp.full((1, S), jnp.inf, rng_img.dtype)])
+    ok_down = jnp.concatenate([eligible[1:], jnp.zeros((1, S), bool)])
+    e_down = _edge(rng_img, r_down, eligible, ok_down, ay, th)
+    return e_right, e_down
+
+
 def label_components(rng_img: jnp.ndarray, eligible: jnp.ndarray, cfg: SlamConfig):
     """Connected components of `eligible` cells under the angle criterion.
 
@@ -32,18 +51,8 @@ def label_components(rng_img: jnp.ndarray, eligible: jnp.ndarray, cfg: SlamConfi
     or _BIG for non-eligible cells).
     """
     L, S = cfg.line_num, cfg.scan_num
-    ax = jnp.asarray(cfg.segment_alpha_x, rng_img.dtype)
-    ay = jnp.asarray(cfg.segment_alpha_y, rng_img.dtype)
-    th = jnp.asarray(cfg.segment_theta, rng_img.dtype)
-
-    # horizontal edges (columns wrap): right neighbor of (i,j) is (i, j+1 mod S)
-    r_right = jnp.roll(rng_img, -1, axis=1)
-    e_right = _edge(rng_img, r_right, eligible, jnp.roll(eligible, -1, axis=1), ax, th)
+    e_right, e_down = edge_masks(rng_img, eligible, cfg)
     e_left = jnp.roll(e_right, 1, axis=1)
-    # vertical edges (no wrap): down neighbor of (i,j) is (i+1, j)
-    r_down = jnp.concatenate([rng_img[1:], jnp.full((1, S), jnp.inf, rng_img.dtype)])
-    ok_down = jnp.concatenate([eligible[1:], jnp.zeros((1, S), bool)])
-    e_down = _edge(rng_img, r_down, eligible, ok_down, ay, th)
     e_up = jnp.concatenate([jnp.zeros((1, S), bool), e_down[:-1]])
 
     flat_ids = jnp.arange(L * S, dtype=jnp.int32).reshape(L, S)
@@ -99,7 +108,17 @@ def segment(rng_img, valid, ground, cfg: SlamConfig):
     """
     L, S = cfg.line_num, cfg.scan_num
     eligible = valid & ~ground
-    labels = label_components(rng_img, eligible, cfg)
+    if cfg.use_pallas:
+        import jax as _jax
+
+        from lins_tpu.ops.pallas_label import label_components_pallas
+
+        e_right, e_down = edge_masks(rng_img, eligible, cfg)
+        labels = label_components_pallas(
+            e_right, e_down, eligible,
+            interpret=_jax.default_backend() == "cpu")
+    else:
+        labels = label_components(rng_img, eligible, cfg)
 
     flat_lab = labels.reshape(-1)
     safe_lab = jnp.minimum(flat_lab, L * S)  # _BIG -> overflow slot

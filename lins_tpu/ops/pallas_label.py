@@ -1,0 +1,123 @@
+"""Grid connected-components as a single Pallas kernel (segmentation hot
+path, SURVEY.md C6).
+
+The XLA label-propagation loop costs ~5 ms/scan in per-op dispatch; this
+kernel runs the whole closure in VMEM with log-shift propagation:
+
+  * horizontal closure: within-run min propagation by shifts 1,2,4,…  —
+    a cell absorbs the label k columns away iff both share a *run id*
+    (prefix count of broken edges), which closes every row run in
+    log2(2S) steps.  Column wrap is handled by doubling the columns, so
+    seam-crossing runs are contiguous; the doubled halves fold with min.
+  * vertical closure: same with shifts 1,2,4,8 over the 16 rows.
+  * H/V closures alternate `n_alt` times — enough for any component whose
+    row/column zigzag depth is ≤ n_alt (validated against the exact XLA
+    union-find labeling on raycast scans).
+
+No gathers, no scatters — only rolls, compares, min — i.e. pure VPU work.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 2 ** 30  # python literal: jnp constants would be captured consts in pallas
+
+
+def _roll(x, k, axis=1):
+    """pltpu.roll with negative-shift support (shift right by k)."""
+    return pltpu.roll(x, k % x.shape[axis], axis)
+
+
+def _prefix_sum_row(x):
+    """Inclusive prefix sum along axis 1 via log shifts (wrap-safe because
+    callers only compare equality of monotone run ids)."""
+    n = x.shape[1]
+    out = x
+    k = 1
+    while k < n:
+        shifted = _roll(out, k)
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        out = out + jnp.where(col >= k, shifted, 0)
+        k *= 2
+    return out
+
+
+def _closure_h(lab, conn_right):
+    """Min-closure along rows within runs of connected cells (doubled row)."""
+    S2 = lab.shape[1]
+    # run id: prefix count of breaks; edge between col i-1 and i is
+    # conn_right rolled by 1
+    conn_left = _roll(conn_right, 1)
+    breaks = 1 - conn_left
+    run = _prefix_sum_row(breaks)
+    k = 1
+    while k < S2:
+        same = run == _roll(run, k)
+        lab = jnp.minimum(lab, jnp.where(same, _roll(lab, k), _BIG))
+        same_b = run == _roll(run, -k)
+        lab = jnp.minimum(lab, jnp.where(same_b, _roll(lab, -k), _BIG))
+        k *= 2
+    return lab
+
+
+def _closure_v(lab, conn_down, L):
+    """Min-closure along columns within vertical runs (no wrap)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
+    conn_up = _roll(conn_down, 1, 0)
+    breaks = jnp.where(row == 0, 1, 1 - conn_up)
+    # vertical prefix sum over 16 rows
+    run = breaks
+    k = 1
+    while k < L:
+        shifted = _roll(run, k, 0)
+        run = run + jnp.where(row >= k, shifted, 0)
+        k *= 2
+    k = 1
+    while k < L:
+        same = (run == _roll(run, k, 0)) & (row >= k)
+        lab = jnp.minimum(lab, jnp.where(same, _roll(lab, k, 0), _BIG))
+        same_b = (run == _roll(run, -k, 0)) & (row < L - k)
+        lab = jnp.minimum(lab, jnp.where(same_b, _roll(lab, -k, 0), _BIG))
+        k *= 2
+    return lab
+
+
+def _label_kernel(e_right_ref, e_down_ref, eligible_ref, out_ref, *,
+                  n_alt: int):
+    L, S = e_right_ref.shape
+    er = e_right_ref[...]
+    ed = e_down_ref[...]
+    el = eligible_ref[...]
+
+    ids = (jax.lax.broadcasted_iota(jnp.int32, (L, S), 0) * S
+           + jax.lax.broadcasted_iota(jnp.int32, (L, S), 1))
+    lab = jnp.where(el > 0, ids, _BIG)
+
+    er2 = jnp.concatenate([er, er], axis=1)
+    for _ in range(n_alt):
+        lab2 = jnp.concatenate([lab, lab], axis=1)
+        lab2 = _closure_h(lab2, er2)
+        lab = jnp.minimum(lab2[:, :S], lab2[:, S:])
+        lab = _closure_v(lab, ed, L)
+    out_ref[...] = jnp.where(el > 0, lab, _BIG)
+
+
+@functools.partial(jax.jit, static_argnames=("n_alt", "interpret"))
+def label_components_pallas(e_right, e_down, eligible, n_alt: int = 5,
+                            interpret: bool = False):
+    """Connected components from edge masks.  e_right (L,S): edge between
+    (i,j) and (i,j+1 mod S); e_down: edge between (i,j) and (i+1,j);
+    eligible (L,S).  Returns int32 labels (representative flat id, _BIG for
+    ineligible cells)."""
+    L, S = eligible.shape
+    return pl.pallas_call(
+        functools.partial(_label_kernel, n_alt=n_alt),
+        out_shape=jax.ShapeDtypeStruct((L, S), jnp.int32),
+        interpret=interpret,
+    )(e_right.astype(jnp.int32), e_down.astype(jnp.int32),
+      eligible.astype(jnp.int32))
