@@ -29,7 +29,8 @@ def main():
     from lins_tpu.datasets import synthetic as syn
     from lins_tpu.odometry import LinsOdometry
 
-    cfg = VLP16.replace(max_points=28800)
+    cfg = VLP16.replace(max_points=28800,
+                        use_pallas=jax.default_backend() != "cpu")
     n_scans = 24
     data = syn.generate_sequence(cfg, n_scans=n_scans, kind="gentle",
                                  speed=1.5)

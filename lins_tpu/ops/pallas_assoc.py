@@ -64,8 +64,7 @@ def _deskew(q, rel, phi_x, phi_y, phi_z, rn_x, rn_y, rn_z):
 
 
 def _surf_kernel(scal_ref, q_xyz_ref, q_rel_ref, q_valid_ref,
-                 r_xyz_ref, r_ring_ref, r_valid_ref,
-                 jtj_ref, jtr_ref, stats_ref):
+                 r_xyz_ref, r_ring_ref, r_valid_ref, jtj_ref):
     """scal (26,) SMEM: rn(0:3), phi(3:6), iter(6), max_d2(7),
     RlT row-major (8:17), Rinv row-major (17:26)."""
     i = pl.program_id(0)
@@ -148,24 +147,18 @@ def _surf_kernel(scal_ref, q_xyz_ref, q_rel_ref, q_valid_ref,
     h1 = gx * V(1) + gy * V(4) + gz * V(7)
     h2 = gx * V(2) + gy * V(5) + gz * V(8)
 
-    zero = jnp.zeros_like(h0)
-    J8 = jnp.stack([h0, h1, h2, cx, cy, cz, zero, zero], axis=1)  # (TQ, 8)
-
-    jtj = jax.lax.dot_general(J8, J8, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    jtr = jax.lax.dot_general(J8, rw[:, None], (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    stats = jnp.stack([jnp.sum(rw * rw), jnp.sum(okf)])[None, :]
+    # One 8x8 Gram matrix carries everything: cols 0..5 = J6 rows,
+    # col 6 = weighted residual, col 7 = match flag.  Then
+    # G[:6,:6] = J6ᵀJ6, G[:6,6] = J6ᵀr, G[6,6] = Σr², G[7,7] = count.
+    J8 = jnp.stack([h0, h1, h2, cx, cy, cz, rw, okf], axis=1)  # (TQ, 8)
+    gram = jax.lax.dot_general(J8, J8, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
     @pl.when(i == 0)
     def _():
         jtj_ref[...] = jnp.zeros_like(jtj_ref)
-        jtr_ref[...] = jnp.zeros_like(jtr_ref)
-        stats_ref[...] = jnp.zeros_like(stats_ref)
 
-    jtj_ref[...] += jtj
-    jtr_ref[...] += jtr
-    stats_ref[...] += stats
+    jtj_ref[...] += gram
 
 
 @functools.partial(jax.jit, static_argnames=("max_d2", "interpret", "tile_q"))
@@ -199,16 +192,8 @@ def surf_normal_equations(q_xyz, q_rel, q_valid, r_xyz, r_ring, r_valid,
             pl.BlockSpec((R, 1), lambda i: (0, 0)),
             pl.BlockSpec((R, 1), lambda i: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((8, 8), lambda i: (0, 0)),
-            pl.BlockSpec((8, 1), lambda i: (0, 0)),
-            pl.BlockSpec((1, 2), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((8, 8), jnp.float32),
-            jax.ShapeDtypeStruct((8, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((8, 8), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, 8), jnp.float32),
         interpret=interpret,
     )(scal,
       q_xyz.astype(jnp.float32), q_rel.astype(jnp.float32)[:, None],
@@ -216,6 +201,5 @@ def surf_normal_equations(q_xyz, q_rel, q_valid, r_xyz, r_ring, r_valid,
       r_xyz.astype(jnp.float32), r_ring.astype(jnp.float32)[:, None],
       r_valid.astype(jnp.float32)[:, None])
 
-    jtj_pad, jtr_pad, stats = out
-    return (jtj_pad[:6, :6], jtr_pad[:6, 0], stats[0, 0],
-            stats[0, 1].astype(jnp.int32))
+    return (out[:6, :6], out[:6, 6], out[6, 6],
+            out[7, 7].astype(jnp.int32))
