@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""lins_tpu command-line runner — the user-facing equivalent of the
+reference's launch file (run_port_exp.launch): decode a dataset, run the
+full SLAM pipeline, write the TUM trajectory, metrics, map export, and
+(optionally) evaluate ATE/RPE against ground truth.
+
+Usage:
+  python run_slam.py --synthetic gentle --scans 40 --out out/
+  python run_slam.py --bag port.bag --imu-topic /imu/data \
+                     --cloud-topic /velodyne_points --out out/
+  python run_slam.py --kitti /data/kitti --seq 00 --preset hdl64 --out out/
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--synthetic", metavar="KIND",
+                     help="synthetic trajectory: static|straight|gentle|turny")
+    src.add_argument("--bag", help="rosbag 2.0 file (uncompressed chunks)")
+    src.add_argument("--kitti", help="KITTI odometry root directory")
+    ap.add_argument("--seq", default="00", help="KITTI sequence id")
+    ap.add_argument("--preset", default="vlp16",
+                    help="sensor preset: vlp16|os1_64|hdl64|tiny")
+    ap.add_argument("--config", help="YAML/JSON config overriding the preset")
+    ap.add_argument("--scans", type=int, default=None, help="max scans")
+    ap.add_argument("--speed", type=float, default=1.5)
+    ap.add_argument("--imu-topic", default="/imu/data")
+    ap.add_argument("--cloud-topic", default="/velodyne_points")
+    ap.add_argument("--no-mapping", action="store_true",
+                    help="odometry only (no scan-to-map backend)")
+    ap.add_argument("--no-loop-closure", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="enable Pallas kernels (TPU)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save state every N scans")
+    ap.add_argument("--resume", help="checkpoint file to resume from")
+    ap.add_argument("--out", default="out", help="output directory")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from lins_tpu.config import PRESETS, SlamConfig
+    from lins_tpu.slam import LinsSlam, run_sequence
+    from lins_tpu.utils import checkpoint as ckpt
+    from lins_tpu.utils import trajectory as traj
+    from lins_tpu.utils.metrics import MetricsLog
+
+    cfg = PRESETS[args.preset]
+    if args.config:
+        loaded = (SlamConfig.from_yaml(args.config)
+                  if args.config.endswith((".yaml", ".yml"))
+                  else SlamConfig.from_json(args.config))
+        cfg = loaded
+    if args.no_loop_closure:
+        cfg = cfg.replace(loop_closure_enabled=False)
+    if args.pallas:
+        cfg = cfg.replace(use_pallas=True)
+
+    # ---- load data ----
+    if args.synthetic:
+        from lins_tpu.datasets import synthetic as syn
+        cfg = cfg.replace(max_points=min(cfg.max_points, cfg.grid_size))
+        data = syn.generate_sequence(cfg, n_scans=args.scans or 40,
+                                     kind=args.synthetic, speed=args.speed)
+    elif args.bag:
+        from lins_tpu.datasets import bag as bagmod
+        raw = bagmod.read_bag(args.bag, args.imu_topic, args.cloud_topic)
+        data = bagmod.bag_to_sequence(raw, cfg)
+    else:
+        from lins_tpu.datasets import kitti
+        data = kitti.load_sequence(args.kitti, args.seq, cfg,
+                                   max_scans=args.scans)
+
+    os.makedirs(args.out, exist_ok=True)
+    n = args.scans or len(data["scans_xyz"])
+
+    slam = LinsSlam(cfg, enable_mapping=not args.no_mapping)
+    if args.resume:
+        ckpt.load_state(args.resume, slam.odometry, slam.mapper)
+
+    log = MetricsLog()
+    t0 = time.perf_counter()
+    imu_i = 0
+    for k in range(min(n, len(data["scans_xyz"]))):
+        t_scan = float(data["scan_times"][k]) + cfg.scan_period
+        imu_t = data.get("imu_times", [])
+        while imu_i < len(imu_t) and imu_t[imu_i] <= t_scan + 1e-9:
+            slam.add_imu(imu_t[imu_i], data["imu_acc"][imu_i],
+                         data["imu_gyr"][imu_i])
+            imu_i += 1
+        slam.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
+        if args.checkpoint_every and (k + 1) % args.checkpoint_every == 0:
+            ckpt.save_state(os.path.join(args.out, f"ckpt_{k+1:05d}.npz"),
+                            slam.odometry, slam.mapper)
+    elapsed = time.perf_counter() - t0
+
+    # ---- outputs ----
+    ts, ps, qs = slam.trajectory_arrays()
+    traj.write_tum(os.path.join(args.out, "trajectory.tum"), ts, ps, qs)
+
+    for m in slam.odometry.metrics:
+        log.record("odometry", **{k: np.asarray(v).item()
+                                  for k, v in m.items()})
+    if slam.mapper is not None:
+        for m in slam.mapper.metrics:
+            log.record("mapping", **{k: np.asarray(v).item()
+                                     for k, v in m.items()})
+        n_map = ckpt.export_global_map(
+            os.path.join(args.out, "global_map.npz"), slam.mapper)
+        ckpt.save_state(os.path.join(args.out, "final_state.npz"),
+                        slam.odometry, slam.mapper)
+    log.dump(os.path.join(args.out, "metrics.jsonl"))
+
+    summary = dict(
+        scans=len(ts), elapsed_s=round(elapsed, 2),
+        scans_per_sec=round(len(ts) / max(elapsed, 1e-9), 2),
+        keyframes=(int(slam.mapper.state.store.count)
+                   if slam.mapper else None),
+        loops=(int(slam.mapper.state.n_loops) if slam.mapper else None),
+    )
+    if "gt_pos" in data:
+        gt = np.asarray(data["gt_pos"])[1:1 + len(ps)]
+        summary["ate_rmse_m"] = round(traj.ate(ps, gt, align=True), 4)
+        summary["rpe_m"] = round(traj.rpe(ps, gt), 4)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
