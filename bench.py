@@ -29,8 +29,11 @@ def main():
     from lins_tpu.datasets import synthetic as syn
     from lins_tpu.odometry import LinsOdometry
 
-    cfg = VLP16.replace(max_points=28800,
-                        use_pallas=jax.default_backend() != "cpu")
+    # NOTE: use_pallas stays off here — this environment's remote-compile
+    # relay reproducibly crashes when Mosaic kernels are embedded in the
+    # large fused scan graph (standalone kernel compiles are fine; see
+    # ops/pallas_label.py for its measured 4x segmentation speedup).
+    cfg = VLP16.replace(max_points=28800)
     n_scans = 24
     data = syn.generate_sequence(cfg, n_scans=n_scans, kind="gentle",
                                  speed=1.5)
