@@ -73,3 +73,37 @@ class TestBatchedReplay:
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+
+class TestShardedKeyframeStore:
+    def test_local_map_matches_unsharded(self):
+        import jax.numpy as jnp
+
+        from lins_tpu.mapping import keyframes as kf
+        from lins_tpu.parallel.shard_map_store import shard_store
+
+        rng = np.random.default_rng(0)
+        cfg = VLP16.replace(max_keyframes=16)
+        store = kf.empty_store(cfg, 32, 64)
+        for i in range(10):
+            cloud_c = jnp.asarray(rng.uniform(-5, 5, (32, 3)), jnp.float32)
+            cloud_s = jnp.asarray(rng.uniform(-5, 5, (64, 3)), jnp.float32)
+            q = so3.quat_normalize(jnp.asarray(rng.normal(size=4), jnp.float32))
+            store = kf.add_keyframe(
+                store, jnp.asarray(rng.uniform(-3, 3, 3), jnp.float32), q,
+                float(i), cloud_c, jnp.ones(32, bool), cloud_s,
+                jnp.ones(64, bool))
+
+        cm0, cv0, sm0, sv0 = kf.assemble_local_map(
+            store, jnp.int32(9), 8, 256, 512, 0.2, 0.4)
+
+        mesh = make_mesh(8)
+        store_sharded = shard_store(store, mesh)
+        cm1, cv1, sm1, sv1 = kf.assemble_local_map(
+            store_sharded, jnp.int32(9), 8, 256, 512, 0.2, 0.4)
+
+        np.testing.assert_allclose(np.asarray(cm1), np.asarray(cm0),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(cv1), np.asarray(cv0))
+        np.testing.assert_allclose(np.asarray(sm1), np.asarray(sm0),
+                                   atol=1e-6)
