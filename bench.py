@@ -29,10 +29,11 @@ def main():
     from lins_tpu.datasets import synthetic as syn
     from lins_tpu.odometry import LinsOdometry
 
-    # NOTE: use_pallas stays off here — this environment's remote-compile
-    # relay reproducibly crashes when Mosaic kernels are embedded in the
-    # large fused scan graph (standalone kernel compiles are fine; see
-    # ops/pallas_label.py for its measured 4x segmentation speedup).
+    # The Pallas split pipeline (use_pallas=True: XLA pre -> Mosaic label
+    # kernel -> XLA rest) cuts device time ~5 ms/scan, but on this
+    # remote-attached TPU the extra dispatches cancel the gain (host
+    # dispatch rate limits; 68-80 scans/s vs 72-83 fused).  The fused
+    # single-dispatch path is the stable default for the driver bench.
     cfg = VLP16.replace(max_points=28800)
     n_scans = 24
     data = syn.generate_sequence(cfg, n_scans=n_scans, kind="gentle",

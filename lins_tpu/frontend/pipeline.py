@@ -43,3 +43,32 @@ def process_cloud(xyz: jnp.ndarray, n_points: jnp.ndarray, cfg: SlamConfig):
 def make_frontend(cfg: SlamConfig):
     """jit-compiled front-end closure for a fixed config."""
     return jax.jit(partial(process_cloud, cfg=cfg))
+
+
+# --- split-dispatch variant (Pallas label kernel as its own dispatch) ------
+#
+# The connected-components Pallas kernel cannot live inside the big fused
+# scan graph in this environment (the remote-compile relay rejects mixed
+# payloads), so the pipelined hot path splits into three dispatches:
+# pre (XLA) -> label kernel (Mosaic) -> rest (XLA).  With the sync-free
+# driver the dispatches pipeline, so throughput follows device time.
+
+def frontend_pre(xyz, n_points, cfg: SlamConfig):
+    """Projection + ground + adjacency edges (everything before labeling)."""
+    xyz_img, rng_img, valid, start, diff = P.project(xyz, n_points, cfg)
+    ground = P.ground_removal(xyz_img, valid, cfg)
+    eligible = valid & ~ground
+    e_right, e_down = Seg.edge_masks(rng_img, eligible, cfg)
+    return dict(xyz_img=xyz_img, rng_img=rng_img, valid=valid, ground=ground,
+                eligible=eligible, e_right=e_right, e_down=e_down,
+                start=start, diff=diff)
+
+
+def frontend_post(labels, pre: dict, cfg: SlamConfig):
+    """Everything after labeling: selection, compaction, features."""
+    label, seg_valid, outlier = Seg.segment_from_labels(
+        labels, pre["eligible"], pre["ground"], cfg)
+    seg = F.compact_rings(pre["xyz_img"], pre["rng_img"], seg_valid,
+                          pre["ground"], pre["start"], pre["diff"], cfg)
+    feats = F.extract_features(seg, pre["xyz_img"], outlier, cfg)
+    return seg, feats

@@ -106,20 +106,17 @@ def segment(rng_img, valid, ground, cfg: SlamConfig):
     Mirrors cloudSegmentation (image_projection_node.cpp:289-334) +
     labelComponents validity (:398-414).
     """
-    L, S = cfg.line_num, cfg.scan_num
     eligible = valid & ~ground
-    if cfg.use_pallas:
-        import jax as _jax
+    # NOTE: always the XLA labeler here — the Pallas kernel runs as its own
+    # dispatch in the split pipeline (frontend_pre/post); embedding Mosaic
+    # kernels in the big fused graph crashes this environment's compiler
+    labels = label_components(rng_img, eligible, cfg)
+    return segment_from_labels(labels, eligible, ground, cfg)
 
-        from lins_tpu.ops.pallas_label import label_components_pallas
 
-        e_right, e_down = edge_masks(rng_img, eligible, cfg)
-        labels = label_components_pallas(
-            e_right, e_down, eligible,
-            interpret=_jax.default_backend() == "cpu")
-    else:
-        labels = label_components(rng_img, eligible, cfg)
-
+def segment_from_labels(labels, eligible, ground, cfg: SlamConfig):
+    """Component validity + outlier/segment selection given labels."""
+    L, S = cfg.line_num, cfg.scan_num
     flat_lab = labels.reshape(-1)
     safe_lab = jnp.minimum(flat_lab, L * S)  # _BIG -> overflow slot
     rows = (jnp.arange(L * S, dtype=jnp.int32) // S)

@@ -164,6 +164,25 @@ def full_scan_step_impl(filter_state, global_state, last_surf, last_corner,
 full_scan_step = jax.jit(full_scan_step_impl, static_argnames=("cfg",))
 
 
+def scan_pre_impl(xyz, n_points, cfg: SlamConfig):
+    from lins_tpu.frontend.pipeline import frontend_pre
+
+    return frontend_pre(xyz, n_points, cfg)
+
+
+def scan_rest_impl(labels, pre, filter_state, global_state, last_surf,
+                   last_corner, dts, accs, gyrs, imu_valid, cfg: SlamConfig):
+    from lins_tpu.frontend.pipeline import frontend_post
+
+    _, feats = frontend_post(labels, pre, cfg)
+    return running_step_impl(filter_state, global_state, feats, last_surf,
+                             last_corner, dts, accs, gyrs, imu_valid, cfg)
+
+
+scan_pre = jax.jit(scan_pre_impl, static_argnames=("cfg",))
+scan_rest = jax.jit(scan_rest_impl, static_argnames=("cfg",))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def second_scan_step(feats: ScanFeatures, last_surf, last_corner,
                      preint: pre.Preintegration, imu_acc, imu_gyr,
@@ -314,11 +333,27 @@ class LinsOdometry:
         """
         if self.status == STATUS_RUNNING:
             dts, accs, gyrs, valid = self._imu_batch(t)
-            (self.filter_state, self.global_state, self.last_surf,
-             self.last_corner, rel_rn, rel_qbn, metrics) = full_scan_step(
-                self.filter_state, self.global_state, self.last_surf,
-                self.last_corner, jnp.asarray(xyz, jnp.float32),
-                jnp.int32(n_points), dts, accs, gyrs, valid, self.cfg)
+            if self.cfg.use_pallas:
+                # split pipeline: XLA pre -> Mosaic label kernel -> XLA rest
+                from lins_tpu.ops.pallas_label import label_components_pallas
+
+                pre_out = scan_pre(jnp.asarray(xyz, jnp.float32),
+                                   jnp.int32(n_points), self.cfg)
+                labels = label_components_pallas(
+                    pre_out["e_right"], pre_out["e_down"],
+                    pre_out["eligible"],
+                    interpret=jax.default_backend() == "cpu")
+                (self.filter_state, self.global_state, self.last_surf,
+                 self.last_corner, rel_rn, rel_qbn, metrics) = scan_rest(
+                    labels, pre_out, self.filter_state, self.global_state,
+                    self.last_surf, self.last_corner, dts, accs, gyrs,
+                    valid, self.cfg)
+            else:
+                (self.filter_state, self.global_state, self.last_surf,
+                 self.last_corner, rel_rn, rel_qbn, metrics) = full_scan_step(
+                    self.filter_state, self.global_state, self.last_surf,
+                    self.last_corner, jnp.asarray(xyz, jnp.float32),
+                    jnp.int32(n_points), dts, accs, gyrs, valid, self.cfg)
             self.time = t
             self.rel_pose = (rel_rn, rel_qbn)
             self.metrics.append(metrics)  # device arrays; lazy
