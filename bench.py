@@ -11,7 +11,11 @@ rate (build target: >= 10x, i.e. >= 100 scans/s/chip).
 The measured path is the full pipeline on the default backend (TPU when
 available): front-end (projection/segmentation/features), IMU propagation,
 and the iterated ESKF update, on a raycast synthetic VLP-16 sequence with
-400 Hz IMU.
+400 Hz IMU, in the chunked replay mode — K=16 scans per chunk, processed
+as 3 device dispatches (vmapped XLA pre -> vmapped Mosaic label kernel ->
+lax.scan over post + running step).  Chunking amortizes the per-dispatch
+cost of the remote-attached TPU; results are bit-identical to the per-scan
+streaming path (tested in tests/test_odometry.py).
 """
 from __future__ import annotations
 
@@ -23,43 +27,54 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from lins_tpu.config import VLP16
     from lins_tpu.datasets import synthetic as syn
     from lins_tpu.odometry import LinsOdometry
 
-    # The Pallas split pipeline (use_pallas=True: XLA pre -> Mosaic label
-    # kernel -> XLA rest) cuts device time ~5 ms/scan, but on this
-    # remote-attached TPU the extra dispatches cancel the gain (host
-    # dispatch rate limits; 68-80 scans/s vs 72-83 fused).  The fused
-    # single-dispatch path is the stable default for the driver bench.
-    cfg = VLP16.replace(max_points=28800)
-    n_scans = 24
+    on_tpu = jax.default_backend() != "cpu"
+    # Mosaic label kernel (1.5 ms vs ~5 ms XLA label propagation) on TPU;
+    # interpret-mode Pallas is too slow for a CPU bench run
+    cfg = VLP16.replace(max_points=28800, use_pallas=on_tpu)
+    K = 16
+    n_chunks = 3          # timed chunks per pass
+    warmup = 6            # per-scan streaming warm-up (compiles + pipeline)
+    n_scans = warmup + (n_chunks + 1) * K
     data = syn.generate_sequence(cfg, n_scans=n_scans, kind="gentle",
                                  speed=1.5)
 
     def one_pass():
         odo = LinsOdometry(cfg)
         imu_i = 0
-        warmup = 6
-        t_start = None
-        out = None
-        for k in range(n_scans):
+        for k in range(warmup):
             t_scan = data["scan_times"][k] + cfg.scan_period
             while (imu_i < len(data["imu_times"])
                    and data["imu_times"][imu_i] <= t_scan + 1e-9):
                 odo.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
                             data["imu_gyr"][imu_i])
                 imu_i += 1
-            if k == warmup:
-                # drain the async pipeline, then start the timed window
-                jax.block_until_ready(odo.global_state)
-                t_start = time.perf_counter()
-            out = odo.add_scan(t_scan, data["scans_xyz"][k],
-                               data["scans_n"][k])
-        jax.block_until_ready(out)  # drain: all timed scans fully computed
-        return (n_scans - warmup) / (time.perf_counter() - t_start)
+            odo.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
+        while imu_i < len(data["imu_times"]):
+            odo.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
+                        data["imu_gyr"][imu_i])
+            imu_i += 1
+
+        ks = list(range(warmup, n_scans))
+
+        def chunk(idx):
+            ts = np.asarray([data["scan_times"][k] + cfg.scan_period
+                             for k in idx])
+            xs = np.stack([data["scans_xyz"][k] for k in idx])
+            ns = np.asarray([data["scans_n"][k] for k in idx])
+            return odo.add_scan_chunk(ts, xs, ns)
+
+        out = chunk(ks[:K])          # compile + warm the chunk path
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for c in range(1, n_chunks + 1):
+            out = chunk(ks[c * K:(c + 1) * K])
+        jax.block_until_ready(out)
+        return n_chunks * K / (time.perf_counter() - t0)
 
     # two passes (compiles cached after the first); best window — the
     # remote-attached TPU's throughput fluctuates run to run

@@ -185,6 +185,89 @@ class TestFullOdometry:
         assert ate < 0.06, f"ATE {ate}"
         assert len(errs) == n - 1  # first scan initializes only
 
+    def test_chunked_matches_per_scan(self):
+        """add_scan_chunk (one dispatch for K scans) must reproduce the
+        per-scan path bit-for-bit (same traced body under lax.scan)."""
+        n = 8
+        data = syn.generate_sequence(CFG, n_scans=n, kind="straight", speed=1.5)
+
+        def feed_until_running(odo):
+            imu_i = 0
+            for k in range(n):
+                t_scan = data["scan_times"][k] + CFG.scan_period
+                while (imu_i < len(data["imu_times"])
+                       and data["imu_times"][imu_i] <= t_scan + 1e-9):
+                    odo.add_imu(data["imu_times"][imu_i],
+                                data["imu_acc"][imu_i],
+                                data["imu_gyr"][imu_i])
+                    imu_i += 1
+                if k < 2:
+                    odo.add_scan(t_scan, data["scans_xyz"][k],
+                                 data["scans_n"][k])
+            return odo
+
+        # reference: per-scan path for scans 2..n-1
+        odo_a = feed_until_running(LinsOdometry(CFG))
+        for k in range(2, n):
+            t_scan = data["scan_times"][k] + CFG.scan_period
+            odo_a.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
+
+        # chunked: same scans in one dispatch
+        odo_b = feed_until_running(LinsOdometry(CFG))
+        ts = np.asarray([data["scan_times"][k] + CFG.scan_period
+                         for k in range(2, n)])
+        odo_b.add_scan_chunk(ts, np.stack(
+            [data["scans_xyz"][k] for k in range(2, n)]),
+            np.asarray([data["scans_n"][k] for k in range(2, n)]))
+
+        ta, pa, qa = odo_a.trajectory_arrays()
+        tb, pb, qb = odo_b.trajectory_arrays()
+        np.testing.assert_allclose(pa, pb, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(qa, qb, rtol=0, atol=1e-12)
+        assert len(odo_b.metrics) == len(odo_a.metrics)
+        assert not bool(odo_b.metrics[-1]["diverged"])
+
+    def test_chunked_pallas_matches_per_scan_pallas(self):
+        """The 3-dispatch chunked split path (vmapped pre -> vmapped label
+        kernel -> lax.scan rest) must match the per-scan split path."""
+        cfg = CFG.replace(use_pallas=True)
+        n = 6
+        data = syn.generate_sequence(cfg, n_scans=n, kind="straight",
+                                     speed=1.5)
+
+        def boot(odo):
+            imu_i = 0
+            for k in range(n):
+                t_scan = data["scan_times"][k] + cfg.scan_period
+                while (imu_i < len(data["imu_times"])
+                       and data["imu_times"][imu_i] <= t_scan + 1e-9):
+                    odo.add_imu(data["imu_times"][imu_i],
+                                data["imu_acc"][imu_i],
+                                data["imu_gyr"][imu_i])
+                    imu_i += 1
+                if k < 2:
+                    odo.add_scan(t_scan, data["scans_xyz"][k],
+                                 data["scans_n"][k])
+            return odo
+
+        odo_a = boot(LinsOdometry(cfg))
+        for k in range(2, n):
+            t_scan = data["scan_times"][k] + cfg.scan_period
+            odo_a.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
+
+        odo_b = boot(LinsOdometry(cfg))
+        ts = np.asarray([data["scan_times"][k] + cfg.scan_period
+                         for k in range(2, n)])
+        odo_b.add_scan_chunk(ts, np.stack(
+            [data["scans_xyz"][k] for k in range(2, n)]),
+            np.asarray([data["scans_n"][k] for k in range(2, n)]))
+
+        _, pa, qa = odo_a.trajectory_arrays()
+        _, pb, qb = odo_b.trajectory_arrays()
+        np.testing.assert_allclose(pa, pb, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(qa, qb, rtol=0, atol=1e-12)
+        assert odo_b.metrics[-1]["n_surf"] > 10
+
     def test_metrics_recorded(self):
         data = syn.generate_sequence(CFG, n_scans=4, kind="static", speed=0.0)
         odo = LinsOdometry(CFG)
