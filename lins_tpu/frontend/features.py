@@ -39,20 +39,21 @@ def compact_rings(xyz_img, rng_img, seg_valid, ground, start, diff,
     cols = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (L, S))
 
     # stable per-ring compaction via prefix-sum scatter (fastest measured
-    # variant on TPU vs argsort-gather and searchsorted-gather)
+    # variant on TPU vs argsort-gather and searchsorted-gather); all six
+    # channels packed into one (L,S,6) scatter — cols < 2^24 are exact in
+    # f32, ground is 0/1
     pos = jnp.cumsum(seg_valid.astype(jnp.int32), axis=1) - 1
     tgt = jnp.where(seg_valid, pos, S)
     rows = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, S))
 
-    def scatter_rows(vals, fill=0):
-        out_shape = vals.shape[:1] + (S + 1,) + vals.shape[2:]
-        out = jnp.full(out_shape, fill, vals.dtype)
-        return out.at[rows, tgt].set(vals)[:, :S]
-
-    xyz_c = scatter_rows(xyz_img)
-    rng_c = scatter_rows(rng_img)
-    grd_c = scatter_rows(ground, False)
-    col_c = scatter_rows(cols)
+    packed = jnp.concatenate([
+        xyz_img, rng_img[..., None], cols.astype(xyz_img.dtype)[..., None],
+        ground.astype(xyz_img.dtype)[..., None]], axis=-1)
+    out = jnp.zeros((L, S + 1, 6), packed.dtype).at[rows, tgt].set(packed)
+    xyz_c = out[:, :S, 0:3]
+    rng_c = out[:, :S, 3]
+    col_c = out[:, :S, 4].astype(jnp.int32)
+    grd_c = out[:, :S, 5] > 0.5
     count = jnp.sum(seg_valid.astype(jnp.int32), axis=1)
     valid_c = jnp.arange(S)[None, :] < count[:, None]
 

@@ -123,10 +123,12 @@ def segment_from_labels(labels, eligible, ground, cfg: SlamConfig):
 
     size = jnp.zeros((L * S + 1,), jnp.int32).at[safe_lab].add(
         eligible.reshape(-1).astype(jnp.int32))
-    min_row = jnp.full((L * S + 1,), L, jnp.int32).at[safe_lab].min(
-        jnp.where(eligible.reshape(-1), rows, L))
     max_row = jnp.full((L * S + 1,), -1, jnp.int32).at[safe_lab].max(
         jnp.where(eligible.reshape(-1), rows, -1))
+    # the component label IS its minimum flat id (min-label propagation /
+    # Pallas closure both converge to it), and flat ids are row-major, so
+    # the label's row is the component's minimum row — no third scatter
+    min_row = jnp.arange(L * S + 1, dtype=jnp.int32) // S
     ring_span = max_row - min_row + 1
 
     seg_ok = (size >= 30) | (
