@@ -30,6 +30,10 @@ import numpy as np
 def main():
     import jax
 
+    from lins_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from lins_tpu.config import VLP16
     from lins_tpu.datasets import synthetic as syn
     from lins_tpu.odometry import LinsOdometry

@@ -183,6 +183,27 @@ class LinsMapper:
         self.last_loop_time = -np.inf
         self.loop_info = []
 
+    def warmup(self, cloud_dtype=None):
+        """AOT-compile the mapping + loop-closure programs up front (see
+        LinsOdometry.warmup — mid-stream compiles can wedge the remote TPU
+        relay; with the persistent cache this is fast on later runs).
+
+        cloud_dtype: dtype of the incoming odometry poses/clouds (the
+        odometry driver's dtype; defaults to this mapper's dtype)."""
+        cd = cloud_dtype or self.dtype
+        sds = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state)
+        p3 = jax.ShapeDtypeStruct((3,), cd)
+        q4 = jax.ShapeDtypeStruct((4,), cd)
+        t = jax.ShapeDtypeStruct((), self.dtype)
+        cx = jax.ShapeDtypeStruct((self.cfg.max_less_sharp, 3), cd)
+        cv = jax.ShapeDtypeStruct((self.cfg.max_less_sharp,), jnp.bool_)
+        sx = jax.ShapeDtypeStruct((self.cfg.max_less_flat, 3), cd)
+        sv = jax.ShapeDtypeStruct((self.cfg.max_less_flat,), jnp.bool_)
+        self._step.lower(sds, p3, q4, t, cx, cv, sx, sv).compile()
+        if self.cfg.loop_closure_enabled:
+            self._loop_step.lower(sds, t).compile()
+
     def process(self, time: float, odo_pos, odo_quat,
                 corner_xyz, corner_valid, surf_xyz, surf_valid):
         """Feed one odometry result + its scan clouds (body frame).

@@ -571,6 +571,60 @@ class LinsOdometry:
             self.metrics.append(_ChunkMetrics(metric_blocks, k))
         return self.global_state.rn, self.global_state.qbn
 
+    def warmup(self, chunk: int | None = None):
+        """AOT-compile the RUNNING-state programs before streaming.
+
+        On the remote-attached TPU relay, a large compile issued mid-stream
+        (after many executions) can wedge the session; compiling everything
+        up front — from the persistent cache on later runs — avoids it.
+        """
+        cfg = self.cfg
+        xyz = jax.ShapeDtypeStruct((cfg.max_points, 3), jnp.float32)
+        n = jax.ShapeDtypeStruct((), jnp.int32)
+        dts = jax.ShapeDtypeStruct((cfg.max_imu_per_scan,), self.dtype)
+        a3 = jax.ShapeDtypeStruct((cfg.max_imu_per_scan, 3), self.dtype)
+        vv = jax.ShapeDtypeStruct((cfg.max_imu_per_scan,), jnp.bool_)
+        fs = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            eskf.initial_state(cfg, dtype=self.dtype))
+        gs = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            identity_nominal(cfg, self.dtype))
+
+        def ref(cap):
+            return dict(
+                xyz=jax.ShapeDtypeStruct((cap, 3), self.dtype),
+                ring=jax.ShapeDtypeStruct((cap,), jnp.int32),
+                valid=jax.ShapeDtypeStruct((cap,), jnp.bool_))
+
+        surf, corner = ref(cfg.max_less_flat), ref(cfg.max_less_sharp)
+        if self.cfg.use_pallas:
+            scan_pre.lower(xyz, n, cfg).compile()
+            labels = jax.ShapeDtypeStruct(
+                (cfg.line_num, cfg.scan_num), jnp.int32)
+            pre_out = jax.eval_shape(partial(scan_pre_impl, cfg=cfg), xyz, n)
+            scan_rest.lower(labels, pre_out, fs, gs, surf, corner,
+                            dts, a3, a3, vv, cfg).compile()
+        else:
+            full_scan_step.lower(fs, gs, surf, corner, xyz, n,
+                                 dts, a3, a3, vv, cfg).compile()
+        if chunk:
+            def k(s):
+                return jax.ShapeDtypeStruct((chunk,) + s.shape, s.dtype)
+            xyz_k, n_k = k(xyz), k(n)
+            dts_k, a3_k, vv_k = k(dts), k(a3), k(vv)
+            if self.cfg.use_pallas:
+                scan_pre_vmap.lower(xyz_k, n_k, cfg).compile()
+                pre_out_k = jax.eval_shape(
+                    lambda x, m: scan_pre_vmap(x, m, cfg), xyz_k, n_k)
+                labels_k = jax.ShapeDtypeStruct(
+                    (chunk, cfg.line_num, cfg.scan_num), jnp.int32)
+                chunk_rest.lower(labels_k, pre_out_k, fs, gs, surf, corner,
+                                 dts_k, a3_k, a3_k, vv_k, cfg).compile()
+            else:
+                chunk_scan_step.lower(fs, gs, surf, corner, xyz_k, n_k,
+                                      dts_k, a3_k, a3_k, vv_k, cfg).compile()
+
     def prefetch_chunks(self, scan_times, xyzs, n_points, chunk: int):
         """Stage a replay sequence on device as chunk-shaped buffers.
 

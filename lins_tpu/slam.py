@@ -27,6 +27,13 @@ class LinsSlam:
         self.mapper = LinsMapper(cfg, **mapper_kw) if enable_mapping else None
         self.trajectory = []   # fused (t, pos, quat), device arrays
 
+    def warmup(self, chunk=None):
+        """Compile every per-scan program before streaming (LinsOdometry /
+        LinsMapper warmup docstrings explain why; persistent-cache fast)."""
+        self.odometry.warmup(chunk=chunk)
+        if self.mapper is not None:
+            self.mapper.warmup(cloud_dtype=self.odometry.dtype)
+
     def add_imu(self, t, acc, gyr):
         self.odometry.add_imu(t, acc, gyr)
 

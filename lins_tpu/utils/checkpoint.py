@@ -118,5 +118,21 @@ def export_global_map(path: str, mapper, leaf: float = 0.4,
     ok = jnp.concatenate([sv.reshape(-1), cv.reshape(-1)])
     ds, ds_ok = voxel_downsample(xyz, ok, leaf, min(cap, xyz.shape[0]))
     pts = np.asarray(ds)[np.asarray(ds_ok)]
-    np.savez_compressed(path, points=pts)
+    if path.endswith(".ply"):
+        write_ply(path, pts)
+    else:
+        np.savez_compressed(path, points=pts)
     return pts.shape[0]
+
+
+def write_ply(path: str, points: np.ndarray):
+    """Write an (N,3) cloud as binary little-endian PLY (interop with the
+    PCL/CloudCompare tooling users of the reference already have)."""
+    points = np.ascontiguousarray(points, np.float32)
+    header = ("ply\nformat binary_little_endian 1.0\n"
+              f"element vertex {len(points)}\n"
+              "property float x\nproperty float y\nproperty float z\n"
+              "end_header\n")
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(points.tobytes())

@@ -42,6 +42,8 @@ def main():
                     help="save state every N scans")
     ap.add_argument("--resume", help="checkpoint file to resume from")
     ap.add_argument("--out", default="out", help="output directory")
+    ap.add_argument("--map-format", default="npz", choices=("npz", "ply"),
+                    help="global map export format")
     args = ap.parse_args()
 
     import numpy as np
@@ -51,6 +53,9 @@ def main():
     from lins_tpu.utils import checkpoint as ckpt
     from lins_tpu.utils import trajectory as traj
     from lins_tpu.utils.metrics import MetricsLog
+    from lins_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = PRESETS[args.preset]
     if args.config:
@@ -85,6 +90,10 @@ def main():
     if args.resume:
         ckpt.load_state(args.resume, slam.odometry, slam.mapper)
 
+    t_c = time.perf_counter()
+    slam.warmup()            # compile everything before streaming
+    compile_s = time.perf_counter() - t_c
+
     log = MetricsLog()
     t0 = time.perf_counter()
     imu_i = 0
@@ -113,13 +122,15 @@ def main():
             log.record("mapping", **{k: np.asarray(v).item()
                                      for k, v in m.items()})
         n_map = ckpt.export_global_map(
-            os.path.join(args.out, "global_map.npz"), slam.mapper)
+            os.path.join(args.out, f"global_map.{args.map_format}"),
+            slam.mapper)
         ckpt.save_state(os.path.join(args.out, "final_state.npz"),
                         slam.odometry, slam.mapper)
     log.dump(os.path.join(args.out, "metrics.jsonl"))
 
     summary = dict(
         scans=len(ts), elapsed_s=round(elapsed, 2),
+        compile_s=round(compile_s, 2),
         scans_per_sec=round(len(ts) / max(elapsed, 1e-9), 2),
         keyframes=(int(slam.mapper.state.store.count)
                    if slam.mapper else None),

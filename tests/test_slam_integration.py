@@ -121,3 +121,17 @@ class TestImuCalibration:
         odo.add_imu(0.0, [0, 0, 9.81], [0, 0, 0])
         out = odo.add_scan(0.1, data["scans_xyz"][0], data["scans_n"][0])
         assert out is None and odo.status == 0
+
+
+class TestWarmup:
+    def test_warmup_compiles_all_programs(self):
+        """warmup() must AOT-compile without error for both the plain and
+        chunked paths (the CLI calls it before streaming)."""
+        slam = LinsSlam(TINY, enable_mapping=True, corner_cap=256,
+                        surf_cap=1024, map_corner_cap=4096,
+                        map_surf_cap=8192)
+        slam.warmup(chunk=3)
+
+    def test_warmup_pallas_path(self):
+        slam = LinsSlam(TINY.replace(use_pallas=True), enable_mapping=False)
+        slam.warmup(chunk=2)

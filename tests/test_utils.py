@@ -110,3 +110,14 @@ class TestCheckpoint:
         assert n > 0
         pts = np.load(str(p))["points"]
         assert pts.shape[1] == 3
+
+        # PLY export: binary little-endian, round-trips the same points
+        p2 = tmp_path / "map.ply"
+        n2 = ckpt.export_global_map(str(p2), mapper, leaf=0.1)
+        assert n2 == n
+        raw = p2.read_bytes()
+        head, _, body = raw.partition(b"end_header\n")
+        assert b"element vertex %d" % n in head
+        pts2 = np.frombuffer(body, np.float32).reshape(-1, 3)
+        np.testing.assert_allclose(np.sort(pts2, 0), np.sort(pts, 0),
+                                   atol=1e-6)
