@@ -74,11 +74,14 @@ def main():
             [data["scans_n"][k] for k in ks], chunk=K)
 
         out = odo.add_scan_chunk(*chunks[0])   # compile + warm the chunk path
-        jax.block_until_ready(out)
+        np.asarray(out[0])   # materialize: the relay's block_until_ready
         t0 = time.perf_counter()
         for c in range(1, n_chunks + 1):
             out = odo.add_scan_chunk(*chunks[c])
-        jax.block_until_ready(out)
+        # materializing the final pose forces the whole carry chain —
+        # on this relay block_until_ready acks before execution finishes,
+        # so an actual D2H readback is the only honest fence
+        np.asarray(out[0])
         return n_chunks * K / (time.perf_counter() - t0)
 
     # two passes (compiles cached after the first); best window — the
