@@ -265,35 +265,37 @@ def extract_features_fast(seg: SegmentedScan, cfg: SlamConfig):
         jnp.abs(curv - jnp.roll(curv, 1, axis=1)) < 1e-12)
     pick_c = pick_c & ~tie
 
-    # less-sharp cap (20) per sector, column order
-    less_sharp = jnp.zeros_like(pick_c)
-    sharp = jnp.zeros_like(pick_c)
-    lab = jnp.zeros((L, S), jnp.int32)
-    for sct in range(cfg.sections_total):
-        m = pick_c & (sector_id_f == sct)
-        m20 = _cap_per_ring(m, cfg.edge_less_feature_num)
-        less_sharp = less_sharp | m20
-        # top-2 by curvature within the sector
-        cv = jnp.where(m20, curv, -1.0)
-        m1 = cv >= jnp.max(cv, axis=1, keepdims=True)
-        m1 = m1 & m20 & (jnp.cumsum(m1 & m20, axis=1) == 1)
-        cv2 = jnp.where(m20 & ~m1, curv, -1.0)
-        m2 = cv2 >= jnp.max(cv2, axis=1, keepdims=True)
-        m2 = m2 & m20 & ~m1 & (jnp.cumsum(m2 & m20 & ~m1, axis=1) == 1)
-        sharp = sharp | (m1 & (jnp.max(cv, axis=1, keepdims=True) > 0)) \
-            | (m2 & (jnp.max(cv2, axis=1, keepdims=True) > 0))
+    # less-sharp cap (20) per sector, column order — all 6 sectors batched
+    # on a sector axis (one (L,6,S) pass instead of a 6-iteration Python
+    # loop of (L,S) ops: ~5x fewer HLO ops, same math; a per-sector mask is
+    # zero outside its sector so full-row cumsum/max = in-sector cumsum/max)
+    nsec = cfg.sections_total
+    sec = sector_id_f[:, None, :] == jnp.arange(nsec, dtype=jnp.int32)[None, :, None]
+    curv6 = curv[:, None, :]
+    m = pick_c[:, None, :] & sec
+    m20 = m & (jnp.cumsum(m, axis=-1) <= cfg.edge_less_feature_num)
+    less_sharp = jnp.any(m20, axis=1)
+    # top-2 by curvature within each sector
+    cv = jnp.where(m20, curv6, -1.0)
+    mx1 = jnp.max(cv, axis=-1, keepdims=True)
+    m1 = (cv >= mx1) & m20
+    m1 = m1 & (jnp.cumsum(m1, axis=-1) == 1)
+    cv2 = jnp.where(m20 & ~m1, curv6, -1.0)
+    mx2 = jnp.max(cv2, axis=-1, keepdims=True)
+    m2 = (cv2 >= mx2) & m20 & ~m1
+    m2 = m2 & (jnp.cumsum(m2, axis=-1) == 1)
+    sharp = jnp.any((m1 & (mx1 > 0)) | (m2 & (mx2 > 0)), axis=1)
 
     # --- flats: spaced low-curvature ground points, 4 per sector ---
     # (on flat ground the reference's greedy-min + ±5 suppression reduces to
     # picking every 6th candidate — the spacing rule reproduces that exactly
     # and stays within the curvature threshold in general)
     cand_f = in_range & ~occl & (curv < cfg.surf_threshold) & seg.ground
-    flat = jnp.zeros_like(cand_f)
-    for sct in range(cfg.sections_total):
-        m = cand_f & (sector_id_f == sct)
-        rank = jnp.cumsum(m.astype(jnp.int32), axis=1) - 1
-        spaced = m & (rank % 6 == 0)
-        flat = flat | _cap_per_ring(spaced, cfg.surf_feature_num)
+    mf = cand_f[:, None, :] & sec
+    rank = jnp.cumsum(mf, axis=-1) - 1
+    spaced = mf & (rank % 6 == 0)
+    spaced = spaced & (jnp.cumsum(spaced, axis=-1) <= cfg.surf_feature_num)
+    flat = jnp.any(spaced, axis=1)
 
     lab = jnp.where(sharp, 2, jnp.where(less_sharp, 1,
                                         jnp.where(flat, -1, 0)))

@@ -291,7 +291,13 @@ scan_pre = jax.jit(scan_pre_impl, static_argnames=("cfg",))
 scan_rest = jax.jit(scan_rest_impl, static_argnames=("cfg",))
 @partial(jax.jit, static_argnames=("cfg",))
 def scan_pre_vmap(xyz_k, n_k, cfg: SlamConfig):
-    return jax.vmap(lambda x, n: scan_pre_impl(x, n, cfg))(xyz_k, n_k)
+    # lax.scan, not vmap: the projection scatter lowers poorly when batched
+    # (measured 0.82 vs 1.00 ms/scan on TPU); outputs are identical
+    def body(c, inp):
+        xyz, n = inp
+        return c, scan_pre_impl(xyz, n, cfg)
+
+    return jax.lax.scan(body, 0, (xyz_k, n_k))[1]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
