@@ -57,6 +57,35 @@ def make_sharded_step(cfg: SlamConfig, mesh: Mesh, axis: str = "seq"):
     return jax.jit(step), apply
 
 
+def make_sharded_chunk_replay(cfg: SlamConfig, mesh: Mesh, axis: str = "seq"):
+    """Chunked multi-sequence replay sharded over the mesh.
+
+    vmap of the K-scan chunked step (`chunk_scan_step_impl`: `lax.scan` over
+    the fused per-scan step) over a batch of independent sequences, with the
+    batch axis sharded across devices.  With batch == n_devices each device
+    runs exactly the single-sequence program — no collectives, so scaling is
+    communication-free (the data-parallel replay axis of SURVEY.md §2 P4).
+
+    Returns (step, put) where step(states, xyz_bk, n_bk, dts, accs, gyrs,
+    valid) -> (states', poses) and put(tree) shards a batch-leading pytree.
+    """
+    def one(state, xyz_k, n_k, dts_k, accs_k, gyrs_k, valid_k):
+        fs, gs, lsurf, lcorn = state
+        carry, outs = est.chunk_scan_step_impl(
+            fs, gs, lsurf, lcorn, xyz_k, n_k, dts_k, accs_k, gyrs_k, valid_k,
+            cfg)
+        return carry, (outs[0], outs[1])   # global (rn, qbn) per scan
+
+    step = jax.jit(jax.vmap(one))
+
+    def put(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(
+                mesh, P(*((axis,) + (None,) * (x.ndim - 1))))), tree)
+
+    return step, put
+
+
 # ---------------------------------------------------------------------------
 # Tiny-state builders for dry runs and benchmarks
 # ---------------------------------------------------------------------------

@@ -74,6 +74,73 @@ class TestBatchedReplay:
         import __graft_entry__ as g
         g.dryrun_multichip(8)
 
+    def test_sharded_chunk_replay_matches_single(self):
+        """Chunked replay sharded over 8 devices == unsharded, per stream."""
+        from lins_tpu.config import TINY
+        from lins_tpu.datasets import synthetic as syn
+        from lins_tpu.odometry import LinsOdometry
+        from lins_tpu.parallel.replay import make_sharded_chunk_replay
+
+        cfg = TINY.replace(use_pallas=False)
+        K, warmup, B = 4, 6, 8
+        data = syn.generate_sequence(cfg, n_scans=warmup + K, kind="gentle",
+                                     speed=1.5)
+        odo = LinsOdometry(cfg)
+        imu_i = 0
+        for k in range(warmup):
+            t_scan = data["scan_times"][k] + cfg.scan_period
+            while (imu_i < len(data["imu_times"])
+                   and data["imu_times"][imu_i] <= t_scan + 1e-9):
+                odo.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
+                            data["imu_gyr"][imu_i])
+                imu_i += 1
+            odo.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
+        while imu_i < len(data["imu_times"]):
+            odo.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
+                        data["imu_gyr"][imu_i])
+            imu_i += 1
+
+        ks = range(warmup, warmup + K)
+        dts = np.zeros((K, cfg.max_imu_per_scan))
+        accs = np.zeros((K, cfg.max_imu_per_scan, 3))
+        gyrs = np.zeros((K, cfg.max_imu_per_scan, 3))
+        valid = np.zeros((K, cfg.max_imu_per_scan), bool)
+        for i, k in enumerate(ks):
+            t = float(data["scan_times"][k]) + cfg.scan_period
+            dts[i], accs[i], gyrs[i], valid[i] = odo._imu_batch_np(t)
+            odo.time = t
+        chunk = (np.stack([data["scans_xyz"][k] for k in ks]
+                          ).astype(np.float32),
+                 np.asarray([data["scans_n"][k] for k in ks], np.int32),
+                 dts, accs, gyrs, valid)
+        state0 = (odo.filter_state, odo.global_state, odo.last_surf,
+                  odo.last_corner)
+
+        mesh = make_mesh(8)
+        step, put = make_sharded_chunk_replay(cfg, mesh)
+        state_b = put(jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0))
+        chunk_b = put(jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + x.shape),
+            chunk))
+        _, (rn_b, qbn_b) = step(state_b, *chunk_b)
+
+        # unsharded single stream
+        mesh1 = make_mesh(1)
+        step1, put1 = make_sharded_chunk_replay(cfg, mesh1)
+        state_1 = put1(jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (1,) + x.shape), state0))
+        chunk_1 = put1(jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (1,) + x.shape),
+            chunk))
+        _, (rn_1, qbn_1) = step1(state_1, *chunk_1)
+
+        for b in range(B):
+            np.testing.assert_array_equal(np.asarray(rn_b[b]),
+                                          np.asarray(rn_1[0]))
+            np.testing.assert_array_equal(np.asarray(qbn_b[b]),
+                                          np.asarray(qbn_1[0]))
+
 
 class TestShardedKeyframeStore:
     def test_local_map_matches_unsharded(self):
