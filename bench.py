@@ -65,19 +65,22 @@ def main():
                         data["imu_gyr"][imu_i])
             imu_i += 1
 
-        # stage the replay chunks on device (prefetch_chunks docstring
-        # explains why transfers must not interleave with the hot loop)
+        # stage the replay chunks AND their IMU batches on device
+        # (prefetch_chunks docstring explains why transfers must not
+        # interleave with the hot loop)
         ks = list(range(warmup, n_scans))
         chunks = odo.prefetch_chunks(
             [data["scan_times"][k] + cfg.scan_period for k in ks],
             [data["scans_xyz"][k] for k in ks],
-            [data["scans_n"][k] for k in ks], chunk=K)
+            [data["scans_n"][k] for k in ks], chunk=K, with_imu=True)
 
-        out = odo.add_scan_chunk(*chunks[0])   # compile + warm the chunk path
+        ts, xs, ns, imu = chunks[0]
+        out = odo.add_scan_chunk(ts, xs, ns, imu=imu)   # compile + warm
         np.asarray(out[0])   # materialize: the relay's block_until_ready
         t0 = time.perf_counter()
         for c in range(1, n_chunks + 1):
-            out = odo.add_scan_chunk(*chunks[c])
+            ts, xs, ns, imu = chunks[c]
+            out = odo.add_scan_chunk(ts, xs, ns, imu=imu)
         # materializing the final pose forces the whole carry chain —
         # on this relay block_until_ready acks before execution finishes,
         # so an actual D2H readback is the only honest fence

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lins_tpu.config import SlamConfig
+from lins_tpu.utils.lazy import ChunkMetrics as _ChunkMetrics
+from lins_tpu.utils.lazy import LazyRows as _LazyRows
 from lins_tpu.frontend import ScanFeatures, make_frontend
 from lins_tpu.geom import so3
 from lins_tpu.imu import eskf
@@ -181,8 +183,12 @@ def chunk_scan_step_impl(filter_state, global_state, last_surf, last_corner,
         xyz, n, dts, accs, gyrs, valid = inp
         fs, gs, lsurf, lcorn, rel_rn, rel_qbn, metrics = full_scan_step_impl(
             fs, gs, lsurf, lcorn, xyz, n, dts, accs, gyrs, valid, cfg)
+        # per-scan re-anchored clouds so the mapping backend can consume
+        # interior scans of the chunk without host round trips
+        clouds = dict(cxyz=lcorn["xyz"], cval=lcorn["valid"],
+                      sxyz=lsurf["xyz"], sval=lsurf["valid"])
         return (fs, gs, lsurf, lcorn), (gs.rn, gs.qbn, rel_rn, rel_qbn,
-                                        metrics)
+                                        metrics, clouds)
 
     carry, outs = jax.lax.scan(
         body, (filter_state, global_state, last_surf, last_corner),
@@ -209,8 +215,10 @@ def chunk_rest_impl(labels_k, pre_k, filter_state, global_state, last_surf,
         _, feats = frontend_post(labels, pre, cfg)
         fs, gs, lsurf, lcorn, rel_rn, rel_qbn, metrics = running_step_impl(
             fs, gs, feats, lsurf, lcorn, dts, accs, gyrs, valid, cfg)
+        clouds = dict(cxyz=lcorn["xyz"], cval=lcorn["valid"],
+                      sxyz=lsurf["xyz"], sval=lsurf["valid"])
         return (fs, gs, lsurf, lcorn), (gs.rn, gs.qbn, rel_rn, rel_qbn,
-                                        metrics)
+                                        metrics, clouds)
 
     carry, outs = jax.lax.scan(
         body, (filter_state, global_state, last_surf, last_corner),
@@ -228,48 +236,6 @@ def _label_vmapped(e_right_k, e_down_k, eligible_k, interpret: bool):
     return jax.vmap(partial(label_components_pallas,
                             interpret=interpret))(e_right_k, e_down_k,
                                                   eligible_k)
-
-
-class _LazyRows:
-    """Host-cached view of a (K, ...) device array block: materializes the
-    whole block once on first access instead of issuing K tiny slice ops
-    over the device relay."""
-
-    def __init__(self, arr):
-        self.arr = arr
-        self._np = None
-
-    def np(self):
-        if self._np is None:
-            self._np = np.asarray(self.arr)
-        return self._np
-
-    def row(self, k):
-        return _LazyRow(self, k)
-
-
-class _LazyRow:
-    def __init__(self, rows: _LazyRows, k: int):
-        self._rows = rows
-        self._k = k
-
-    def __array__(self, dtype=None, copy=None):
-        out = self._rows.np()[self._k]
-        return out.astype(dtype) if dtype is not None else out
-
-
-class _ChunkMetrics:
-    """Per-scan metrics view into whole-chunk device blocks (lazy)."""
-
-    def __init__(self, blocks: dict, k: int):
-        self._blocks = blocks
-        self._k = k
-
-    def __getitem__(self, key):
-        return self._blocks[key].np()[self._k]
-
-    def keys(self):
-        return self._blocks.keys()
 
 
 def scan_pre_impl(xyz, n_points, cfg: SlamConfig):
@@ -347,6 +313,44 @@ def second_scan_step(feats: ScanFeatures, last_surf, last_corner,
                                    rn, qbn),
         ring=feats.less_flat.ring, valid=feats.less_flat.valid)
     return fs, g, new_surf, new_corner, rn, qbn
+
+
+# --- single-dispatch bootstrap steps ----------------------------------------
+# Every host-issued eager op costs ~45 ms over the remote TPU relay, so the
+# INIT/FIRST_SCAN path is folded into three jitted programs with one host
+# readback (the feature-count gate).
+
+@partial(jax.jit, static_argnames=("cfg",))
+def first_frontend(xyz, n_points, cfg: SlamConfig):
+    """Front-end + the feature-count gate values in one dispatch."""
+    from lins_tpu.frontend.pipeline import process_cloud
+
+    _, _, feats = process_cloud(xyz, n_points, cfg)
+    counts = jnp.stack([jnp.sum(feats.less_sharp.valid).astype(jnp.int32),
+                        jnp.sum(feats.less_flat.valid).astype(jnp.int32)])
+    return feats, counts
+
+
+@partial(jax.jit, static_argnames=("dtype", "cfg"))
+def first_scan_init(feats: ScanFeatures, t, acc0, gyr0, ba, bw, dtype,
+                    cfg: SlamConfig):
+    """Filter/preintegration init + reference feature sets
+    (processFirstPointCloud, Estimator.cpp:145-175) in one dispatch."""
+    fs = eskf.initial_state(cfg, time=t, acc=acc0, gyr=gyr0, dtype=dtype)
+    preint = pre.init_preintegration(acc0, gyr0, ba, bw, dtype=dtype)
+    return (fs, preint, _feature_ref(feats.less_flat, dtype),
+            _feature_ref(feats.less_sharp, dtype))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def second_scan_full(feats: ScanFeatures, last_surf, last_corner, preint,
+                     dts, accs, gyrs, valid, acc_l, gyr_l, ba0, bw0, t,
+                     cfg: SlamConfig):
+    """Preintegration + the two-scan bootstrap + time stamping, fused."""
+    preint = pre.preintegrate(preint, dts, accs, gyrs, valid)
+    fs, g, new_surf, new_corner, rn, qbn = second_scan_step(
+        feats, last_surf, last_corner, preint, acc_l, gyr_l, ba0, bw0, cfg)
+    return (fs._replace(time=t), g, new_surf, new_corner, rn, qbn)
 
 
 class LinsOdometry:
@@ -481,10 +485,13 @@ class LinsOdometry:
             self._record(t)
             return self.global_state.rn, self.global_state.qbn
 
-        img, seg, feats = self.frontend(jnp.asarray(xyz, jnp.float32),
-                                        jnp.int32(n_points))
-        n_corner = int(feats.less_sharp.valid.sum())
-        n_surf = int(feats.less_flat.valid.sum())
+        # bootstrap path: every step is ONE jitted dispatch + at most one
+        # host readback (each host-issued eager op costs ~45 ms over the
+        # remote TPU relay — 60+ of them made the 2-scan bootstrap slower
+        # than 50 chunked scans)
+        feats, counts = first_frontend(jnp.asarray(xyz, jnp.float32),
+                                       jnp.int32(n_points), self.cfg)
+        n_corner, n_surf = (int(v) for v in np.asarray(counts))
 
         if self.status == STATUS_INIT:
             if n_corner < 10 or n_surf < 100:
@@ -492,13 +499,12 @@ class LinsOdometry:
             if self._last_imu is None or not self.imu_calibrated:
                 return None
             acc0, gyr0 = self._last_imu
-            self.filter_state = eskf.initial_state(
-                self.cfg, time=t, acc=acc0, gyr=gyr0, dtype=self.dtype)
-            self.preint = pre.init_preintegration(
-                acc0, gyr0, self.estimated_ba, self.estimated_bw,
-                dtype=self.dtype)
-            self.last_corner = _feature_ref(feats.less_sharp, self.dtype)
-            self.last_surf = _feature_ref(feats.less_flat, self.dtype)
+            d = self.dtype
+            (self.filter_state, self.preint, self.last_surf,
+             self.last_corner) = first_scan_init(
+                feats, np.asarray(t, d), np.asarray(acc0, d),
+                np.asarray(gyr0, d), np.asarray(self.estimated_ba, d),
+                np.asarray(self.estimated_bw, d), d, self.cfg)
             self.time = t
             self._drop_imu_before(t)
             self.status = STATUS_FIRST_SCAN
@@ -508,17 +514,17 @@ class LinsOdometry:
             if n_corner < 10 or n_surf < 100:
                 self.status = STATUS_INIT
                 return None
-            dts, accs, gyrs, valid = self._imu_batch(t)
-            self.preint = pre.preintegrate(self.preint, dts, accs, gyrs, valid)
+            dts, accs, gyrs, valid = self._imu_batch_np(t)
             acc_l, gyr_l = self._last_imu
             (self.filter_state, self.global_state, self.last_surf,
-             self.last_corner, rel_rn, rel_qbn) = second_scan_step(
+             self.last_corner, rel_rn, rel_qbn) = second_scan_full(
                 feats, self.last_surf, self.last_corner, self.preint,
-                jnp.asarray(acc_l, self.dtype), jnp.asarray(gyr_l, self.dtype),
-                jnp.asarray(self.estimated_ba, self.dtype),
-                jnp.asarray(self.estimated_bw, self.dtype), self.cfg)
-            self.filter_state = self.filter_state._replace(
-                time=jnp.asarray(t, self.dtype))
+                dts.astype(self.dtype), accs.astype(self.dtype),
+                gyrs.astype(self.dtype), valid,
+                np.asarray(acc_l, self.dtype), np.asarray(gyr_l, self.dtype),
+                np.asarray(self.estimated_ba, self.dtype),
+                np.asarray(self.estimated_bw, self.dtype),
+                np.asarray(t, self.dtype), self.cfg)
             self.time = t
             self.rel_pose = (rel_rn, rel_qbn)
             self.status = STATUS_RUNNING
@@ -527,30 +533,30 @@ class LinsOdometry:
 
         return None  # unreachable
 
-    def add_scan_chunk(self, ts, xyzs, n_points):
+    def add_scan_chunk(self, ts, xyzs, n_points, imu=None):
         """Process K consecutive scans with ONE device dispatch
         (chunk_scan_step).  Requires STATUS_RUNNING — feed the first scans
         through add_scan until it returns a pose, then switch to chunks.
 
         ts: (K,) scan-end times; xyzs: (K, max_points, 3); n_points: (K,).
+        imu: optional prebuilt (dts, accs, gyrs, valid) device blocks from
+        `prefetch_chunks(..., with_imu=True)` — with them this method issues
+        NO host->device transfer (transfers serialize against queued compute
+        on remote-attached TPUs).
         Appends K trajectory/metrics entries; returns the last global pose.
         """
         assert self.status == STATUS_RUNNING, "chunked mode needs RUNNING"
         K = len(ts)
-        dts = np.zeros((K, self.cfg.max_imu_per_scan))
-        accs = np.zeros((K, self.cfg.max_imu_per_scan, 3))
-        gyrs = np.zeros((K, self.cfg.max_imu_per_scan, 3))
-        valid = np.zeros((K, self.cfg.max_imu_per_scan), bool)
-        for k in range(K):
-            d, a, g, v = self._imu_batch_np(float(ts[k]))
-            dts[k], accs[k], gyrs[k], valid[k] = d, a, g, v
-            self.time = float(ts[k])
+        if imu is None:
+            imu = self._imu_chunk_np(ts)
+            imu = (jnp.asarray(imu[0], self.dtype),
+                   jnp.asarray(imu[1], self.dtype),
+                   jnp.asarray(imu[2], self.dtype), jnp.asarray(imu[3]))
+        else:
+            self.time = float(ts[-1])
+        dts_k, accs_k, gyrs_k, valid_k = imu
         xyz_k = jnp.asarray(xyzs, jnp.float32)
         n_k = jnp.asarray(n_points, jnp.int32)
-        dts_k = jnp.asarray(dts, self.dtype)
-        accs_k = jnp.asarray(accs, self.dtype)
-        gyrs_k = jnp.asarray(gyrs, self.dtype)
-        valid_k = jnp.asarray(valid)
         state = (self.filter_state, self.global_state, self.last_surf,
                  self.last_corner)
         if self.cfg.use_pallas:
@@ -560,15 +566,20 @@ class LinsOdometry:
             labels_k = _label_vmapped(
                 pre_k["e_right"], pre_k["e_down"], pre_k["eligible"],
                 jax.default_backend() == "cpu")
-            state, (rns, qbns, rel_rns, rel_qbns, metrics) = chunk_rest(
-                labels_k, pre_k, *state, dts_k, accs_k, gyrs_k, valid_k,
-                self.cfg)
+            state, (rns, qbns, rel_rns, rel_qbns, metrics, clouds) = \
+                chunk_rest(labels_k, pre_k, *state, dts_k, accs_k, gyrs_k,
+                           valid_k, self.cfg)
         else:
-            state, (rns, qbns, rel_rns, rel_qbns, metrics) = chunk_scan_step(
-                *state, xyz_k, n_k, dts_k, accs_k, gyrs_k, valid_k, self.cfg)
+            state, (rns, qbns, rel_rns, rel_qbns, metrics, clouds) = \
+                chunk_scan_step(*state, xyz_k, n_k, dts_k, accs_k, gyrs_k,
+                                valid_k, self.cfg)
         (self.filter_state, self.global_state, self.last_surf,
          self.last_corner) = state
         self.rel_pose = (rel_rns[-1], rel_qbns[-1])
+        # whole-chunk per-scan pose/cloud blocks, for vectorized downstream
+        # consumption (LinsSlam.run_replay's mapping feed + fused output)
+        self.last_chunk_poses = (rns, qbns)
+        self.last_chunk_clouds = clouds
         rn_rows, qbn_rows = _LazyRows(rns), _LazyRows(qbns)
         metric_blocks = {key: _LazyRows(val) for key, val in metrics.items()}
         for k in range(K):
@@ -631,7 +642,39 @@ class LinsOdometry:
                 chunk_scan_step.lower(fs, gs, surf, corner, xyz_k, n_k,
                                       dts_k, a3_k, a3_k, vv_k, cfg).compile()
 
-    def prefetch_chunks(self, scan_times, xyzs, n_points, chunk: int):
+        # bootstrap programs (INIT/FIRST_SCAN path): fused front-end+counts,
+        # filter init, and the two-scan initializer — otherwise the first
+        # scans compile mid-stream, which can wedge the remote TPU relay
+        first_frontend.lower(xyz, n, cfg).compile()
+        feats_sd = jax.eval_shape(
+            lambda x, m: first_frontend(x, m, cfg), xyz, n)[0]
+        preint_sd = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            pre.init_preintegration(np.zeros(3), np.zeros(3), np.zeros(3),
+                                    np.zeros(3), dtype=self.dtype))
+        v3 = jax.ShapeDtypeStruct((3,), self.dtype)
+        t0 = jax.ShapeDtypeStruct((), self.dtype)
+        first_scan_init.lower(feats_sd, t0, v3, v3, v3, v3,
+                              dtype=self.dtype, cfg=cfg).compile()
+        second_scan_full.lower(feats_sd, surf, corner, preint_sd, dts, a3,
+                               a3, vv, v3, v3, v3, v3, t0, cfg).compile()
+
+    def _imu_chunk_np(self, ts):
+        """Per-scan padded IMU batches for a chunk of scan-end times (host
+        numpy); consumes the IMU buffer and advances self.time."""
+        K = len(ts)
+        dts = np.zeros((K, self.cfg.max_imu_per_scan))
+        accs = np.zeros((K, self.cfg.max_imu_per_scan, 3))
+        gyrs = np.zeros((K, self.cfg.max_imu_per_scan, 3))
+        valid = np.zeros((K, self.cfg.max_imu_per_scan), bool)
+        for k in range(K):
+            d, a, g, v = self._imu_batch_np(float(ts[k]))
+            dts[k], accs[k], gyrs[k], valid[k] = d, a, g, v
+            self.time = float(ts[k])
+        return dts, accs, gyrs, valid
+
+    def prefetch_chunks(self, scan_times, xyzs, n_points, chunk: int,
+                        with_imu: bool = False):
         """Stage a replay sequence on device as chunk-shaped buffers.
 
         On remote-attached TPUs a host->device transfer issued mid-stream
@@ -640,6 +683,12 @@ class LinsOdometry:
         front — (ts, xyz (K,P,3) f32 on device, n (K,) i32 on device) per
         chunk — and the hot loop issues pure dispatches.  HBM cost:
         chunk count x K x P x 3 x 4 bytes (~0.35 MB/scan for a VLP-16).
+
+        with_imu=True additionally drains the (already-buffered) IMU stream
+        into per-chunk device blocks, appended to each tuple as a 4-tuple
+        `imu=(dts, accs, gyrs, valid)` for `add_scan_chunk(..., imu=imu)` —
+        zero mid-stream transfers.  Requires all IMU up to the last scan to
+        be buffered; consumes it and advances self.time.
         """
         n = len(scan_times)
         out = []
@@ -649,7 +698,15 @@ class LinsOdometry:
                 np.asarray(xyzs[s:s + chunk], np.float32))
             ns = jax.device_put(
                 np.asarray(n_points[s:s + chunk], np.int32))
-            out.append((ts, xs, ns))
+            if with_imu:
+                d, a, g, v = self._imu_chunk_np(ts)
+                imu = (jax.device_put(d.astype(self.dtype)),
+                       jax.device_put(a.astype(self.dtype)),
+                       jax.device_put(g.astype(self.dtype)),
+                       jax.device_put(v))
+                out.append((ts, xs, ns, imu))
+            else:
+                out.append((ts, xs, ns))
         jax.block_until_ready([c[1] for c in out])
         return out
 

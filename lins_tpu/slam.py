@@ -8,6 +8,7 @@ correction).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -15,6 +16,12 @@ from lins_tpu.config import SlamConfig
 from lins_tpu.geom import so3
 from lins_tpu.mapping.mapper import LinsMapper, warm_start
 from lins_tpu.odometry import LinsOdometry
+from lins_tpu.odometry.estimator import STATUS_RUNNING
+from lins_tpu.utils.lazy import LazyRows as _LazyRows
+
+# jitted: host-eager quaternion math costs one relay dispatch PER OP
+# (~45 ms each on remote-attached TPUs); this is one dispatch total
+_warm_start = jax.jit(warm_start)
 
 
 class LinsSlam:
@@ -32,7 +39,7 @@ class LinsSlam:
         LinsMapper warmup docstrings explain why; persistent-cache fast)."""
         self.odometry.warmup(chunk=chunk)
         if self.mapper is not None:
-            self.mapper.warmup(cloud_dtype=self.odometry.dtype)
+            self.mapper.warmup(cloud_dtype=self.odometry.dtype, chunk=chunk)
 
     def add_imu(self, t, acc, gyr):
         self.odometry.add_imu(t, acc, gyr)
@@ -51,7 +58,7 @@ class LinsSlam:
                                 surf["xyz"], surf["valid"])
             self.mapper.maybe_close_loop(t)
             # high-rate fused output (transform_fusion_node)
-            pos, quat = warm_start(self.mapper.state, odo_pos, odo_quat)
+            pos, quat = _warm_start(self.mapper.state, odo_pos, odo_quat)
         else:
             pos, quat = odo_pos, odo_quat
 
@@ -63,6 +70,87 @@ class LinsSlam:
         ps = np.stack([np.asarray(p) for _, p, _ in self.trajectory])
         qs = np.stack([np.asarray(q) for _, _, q in self.trajectory])
         return ts, ps, qs
+
+    def run_replay(self, data: dict, n_scans: int | None = None,
+                   chunk: int = 24):
+        """Offline replay: stream until the odometry is RUNNING, then
+        prefetch the remaining scans AND their IMU batches to HBM and
+        process `chunk` scans per odometry dispatch
+        (`LinsOdometry.add_scan_chunk`).  The chunk step emits every scan's
+        re-anchored feature clouds, so the mapping backend runs at its
+        normal cadence (every mapping_process_interval, i.e. every 3rd scan
+        for the reference's 0.3 s / 0.1 s) on device-resident slices of the
+        chunk outputs — the hot loop issues NO host->device transfer and
+        never synchronizes (transfers serialize against queued compute on
+        remote-attached TPUs).  Odometry is bit-identical to streaming;
+        mapping sees the same scans/cadence and the fused output follows the
+        same process -> loop -> fuse order, numerically equivalent to
+        streaming (not bit-identical: the fused-region rounding differs —
+        measured ~mm over a 40-scan synthetic run).
+        """
+        cfg = self.cfg
+        n = n_scans or len(data["scans_xyz"])
+        imu_i, k = 0, 0
+        # 1) stream until RUNNING (bootstrap needs per-scan host logic)
+        while k < n and self.odometry.status != STATUS_RUNNING:
+            t_scan = float(data["scan_times"][k]) + cfg.scan_period
+            while (imu_i < len(data["imu_times"])
+                   and data["imu_times"][imu_i] <= t_scan + 1e-9):
+                self.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
+                             data["imu_gyr"][imu_i])
+                imu_i += 1
+            self.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
+            k += 1
+        # 2) buffer the remaining IMU, prefetch + replay the rest chunked
+        while imu_i < len(data["imu_times"]):
+            self.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
+                         data["imu_gyr"][imu_i])
+            imu_i += 1
+        ks = list(range(k, n))
+        tail = len(ks) % chunk
+        chunks = self.odometry.prefetch_chunks(
+            [float(data["scan_times"][j]) + cfg.scan_period for j in ks],
+            [data["scans_xyz"][j] for j in ks],
+            [data["scans_n"][j] for j in ks], chunk=chunk, with_imu=True)
+        # stage everything the hot loop needs up front: scan times, mapping
+        # and loop-closure gate flags, per chunk (mid-stream host->device
+        # transfers serialize against queued compute on this relay)
+        staged = []
+        for c in chunks:
+            ts = c[0]
+            ts_dev = jax.device_put(np.asarray(ts, np.float32))
+            if self.mapper is not None:
+                mf, lf = self.mapper.plan_chunk(ts)
+                flags_dev = (jax.device_put(mf), jax.device_put(lf))
+            else:
+                mf = lf = flags_dev = None
+            staged.append((ts_dev, mf, lf, flags_dev))
+        jax.block_until_ready([s[0] for s in staged])
+        for (ts, xyz_k, n_k, imu), (ts_dev, mf, lf, fdev) in zip(chunks,
+                                                                 staged):
+            self.odometry.add_scan_chunk(ts, xyz_k, n_k, imu=imu)
+            self._post_chunk(ts, ts_dev, mf, lf, fdev)
+        for j in ks[len(ks) - tail:] if tail else []:
+            t_scan = float(data["scan_times"][j]) + cfg.scan_period
+            self.add_scan(t_scan, data["scans_xyz"][j], data["scans_n"][j])
+        return self
+
+    def _post_chunk(self, ts, ts_dev, map_flags, loop_flags, flags_dev):
+        """Mapping + loop closure over one finished chunk in one dispatch
+        (LinsMapper.process_chunk) + per-scan fused high-rate poses,
+        streaming-identical: each scan's fused pose uses the correction
+        current at that scan (process -> loop -> fuse order)."""
+        odo = self.odometry
+        rns, qbns = odo.last_chunk_poses
+        if self.mapper is not None:
+            ps, qs = self.mapper.process_chunk(
+                ts, rns, qbns, odo.last_chunk_clouds, ts_dev,
+                map_flags, loop_flags, flags_dev)
+        else:
+            ps, qs = rns, qbns
+        p_rows, q_rows = _LazyRows(ps), _LazyRows(qs)
+        for i, t in enumerate(ts):
+            self.trajectory.append((float(t), p_rows.row(i), q_rows.row(i)))
 
 
 def run_sequence(slam: LinsSlam, data: dict, n_scans: int | None = None):
