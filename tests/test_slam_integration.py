@@ -51,6 +51,35 @@ class TestLongHorizon:
         assert ate_map < 0.2
 
 
+class TestReplayMode:
+    def test_replay_matches_streaming(self, tiny_seq):
+        """run_replay (chunked, device-side mapping cadence) must match
+        streaming scan-for-scan: same timestamps, same mapping/loop
+        cadence, poses equal to f32 fusion-rounding tolerance."""
+        data = tiny_seq
+        s1 = run_sequence(LinsSlam(TINY), data, 40)
+        s2 = LinsSlam(TINY).run_replay(data, 40, chunk=12)
+
+        t1, p1, q1 = s1.trajectory_arrays()
+        t2, p2, q2 = s2.trajectory_arrays()
+        assert len(t1) == len(t2)
+        np.testing.assert_allclose(t1, t2)
+        np.testing.assert_allclose(p2, p1, atol=2e-2)
+        np.testing.assert_allclose(q2, q1, atol=5e-3)
+        assert len(s1.mapper.metrics) == len(s2.mapper.metrics)
+        assert len(s1.mapper.loop_info) == len(s2.mapper.loop_info)
+        assert int(s1.mapper.state.store.count) == int(
+            s2.mapper.state.store.count)
+        # metric records must materialize identically (lazy chunk views)
+        m1, m2 = s1.mapper.metrics[-1], s2.mapper.metrics[-1]
+        assert set(m1.keys()) == set(m2.keys())
+
+    def test_replay_tail_scans(self, tiny_seq):
+        """A scan count that doesn't fill the last chunk streams the tail."""
+        s = LinsSlam(TINY).run_replay(tiny_seq, 31, chunk=12)
+        assert len(s.trajectory) == 30   # scan 0 initializes only
+
+
 class TestCheckpointResume:
     def test_resume_continues_trajectory(self, tiny_seq):
         from lins_tpu.utils import checkpoint as ckpt
