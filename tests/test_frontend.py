@@ -34,6 +34,28 @@ def frontend_out(scan0):
     return fe(*scan0)
 
 
+class TestPaddedEdges:
+    """Padded-array boundary cases: zero valid points, full capacity."""
+
+    def test_zero_points_no_nan(self):
+        xyz = jnp.zeros((CFG.max_points, 3), jnp.float32)
+        _, seg, feats = process_cloud(xyz, jnp.int32(0), CFG)
+        assert int(seg.count.sum()) == 0
+        for name in ("sharp", "less_sharp", "flat", "less_flat", "outlier"):
+            fc = getattr(feats, name)
+            assert int(fc.valid.sum()) == 0
+            assert bool(jnp.all(jnp.isfinite(fc.xyz)))
+
+    def test_exactly_full_capacity(self, scan0):
+        xyz, n = scan0
+        full = jnp.broadcast_to(xyz[:1], (CFG.max_points, 3)) * 0 + xyz
+        _, seg, feats = process_cloud(full, jnp.int32(CFG.max_points), CFG)
+        assert bool(jnp.all(jnp.isfinite(feats.less_flat.xyz)))
+        # caps respected
+        assert int(feats.sharp.valid.sum()) <= CFG.max_sharp
+        assert int(feats.less_flat.valid.sum()) <= CFG.max_less_flat
+
+
 class TestProjection:
     def test_known_point_cell(self):
         # point straight ahead (+x), elevation ~ +1 deg above horizontal

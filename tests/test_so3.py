@@ -141,6 +141,22 @@ class TestConfig:
         assert cfg.max_points == 200000
         np.testing.assert_allclose(cfg.init_ba, (-0.015774, 0.143237, -0.0263845))
 
+    def test_bad_type_raises(self, tmp_path):
+        from lins_tpu.config import SlamConfig
+        y = tmp_path / "bad.yaml"
+        y.write_text("line_num: not_a_number\n")
+        with pytest.raises(ValueError, match="line_num"):
+            SlamConfig.from_yaml(str(y))
+
+    def test_unknown_fields_ignored(self, tmp_path):
+        from lins_tpu.config import SlamConfig, VLP16
+        y = tmp_path / "extra.yaml"
+        y.write_text("line_num: 16\nsome_future_knob: 42\n"
+                     "imu_topic: /imu/data\n")
+        cfg = SlamConfig.from_yaml(str(y))
+        assert cfg.line_num == 16
+        assert not hasattr(cfg, "some_future_knob")
+
     def test_json_roundtrip(self, tmp_path):
         from lins_tpu.config import VLP16, SlamConfig
         p = tmp_path / "cfg.json"
