@@ -94,49 +94,63 @@ def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
     dtype = store.pos.dtype
     idx, found = detect_loop(store, cur, cur_time, cfg)
 
-    # submap: ±history_keyframe_search_num keyframes around the candidate
-    n_half = cfg.history_keyframe_search_num
-    win = jnp.arange(2 * n_half + 1) - n_half + idx
-    ok_win = (win >= 0) & (win < store.count)
-    win = jnp.clip(win, 0, store.pos.shape[0] - 1)
-    # only keyframes from the OLD pass: the reference's ±25 index window
-    # implicitly excludes the fresh pass because loops are hundreds of
-    # keyframes apart; with a time gate this stays true for short revisits
-    ok_win = ok_win & (cur_time - store.time[win] > cfg.loop_time_gate)
+    def align(_):
+        # the reference only runs ICP when detection succeeds
+        # (performLoopClosure :1118-1121 returns before align); this
+        # lax.cond branch keeps the 1 Hz no-candidate attempt nearly free
+        # (measured 16.5 ms/attempt unconditionally on the tiny preset).
+        # submap: ±history_keyframe_search_num keyframes around the candidate
+        n_half = cfg.history_keyframe_search_num
+        win = jnp.arange(2 * n_half + 1) - n_half + idx
+        ok_win = (win >= 0) & (win < store.count)
+        win_c = jnp.clip(win, 0, store.pos.shape[0] - 1)
+        # only keyframes from the OLD pass: the reference's ±25 index window
+        # implicitly excludes the fresh pass because loops are hundreds of
+        # keyframes apart; with a time gate this stays true for short revisits
+        ok_w = ok_win & (cur_time - store.time[win_c] > cfg.loop_time_gate)
 
-    def to_world(cloud, valid, p, q, keep):
-        return (so3.quat_rotate(q[None, :], cloud) + p[None, :],
-                valid & keep)
+        def to_world(cloud, valid, p, q, keep):
+            return (so3.quat_rotate(q[None, :], cloud) + p[None, :],
+                    valid & keep)
 
-    sw, sv = jax.vmap(to_world)(store.surf[win], store.surf_valid[win],
-                                store.pos[win], store.quat[win], ok_win)
-    cw, cv = jax.vmap(to_world)(store.corner[win], store.corner_valid[win],
-                                store.pos[win], store.quat[win], ok_win)
-    sub_xyz = jnp.concatenate([sw.reshape(-1, 3), cw.reshape(-1, 3)])
-    sub_ok = jnp.concatenate([sv.reshape(-1), cv.reshape(-1)])
-    submap, submap_ok = voxel_downsample(sub_xyz, sub_ok,
-                                         cfg.map_surf_leaf, submap_cap)
+        sw, sv = jax.vmap(to_world)(store.surf[win_c],
+                                    store.surf_valid[win_c],
+                                    store.pos[win_c], store.quat[win_c], ok_w)
+        cw, cv = jax.vmap(to_world)(store.corner[win_c],
+                                    store.corner_valid[win_c],
+                                    store.pos[win_c], store.quat[win_c], ok_w)
+        sub_xyz = jnp.concatenate([sw.reshape(-1, 3), cw.reshape(-1, 3)])
+        sub_ok = jnp.concatenate([sv.reshape(-1), cv.reshape(-1)])
+        submap, submap_ok = voxel_downsample(sub_xyz, sub_ok,
+                                             cfg.map_surf_leaf, submap_cap)
 
-    # current keyframe cloud in world at its current estimate
-    cur_i = jnp.clip(cur, 0, store.pos.shape[0] - 1)
-    p_c, q_c = store.pos[cur_i], store.quat[cur_i]
-    cloud = jnp.concatenate([store.surf[cur_i], store.corner[cur_i]])
-    cloud_ok = jnp.concatenate([store.surf_valid[cur_i],
-                                store.corner_valid[cur_i]])
-    cloud_w = so3.quat_rotate(q_c[None, :], cloud) + p_c[None, :]
-    cloud_ds, cloud_ds_ok = voxel_downsample(cloud_w, cloud_ok,
-                                             cfg.map_surf_leaf, cloud_cap)
+        # current keyframe cloud in world at its current estimate
+        cur_i = jnp.clip(cur, 0, store.pos.shape[0] - 1)
+        p_c, q_c = store.pos[cur_i], store.quat[cur_i]
+        cloud = jnp.concatenate([store.surf[cur_i], store.corner[cur_i]])
+        cloud_ok = jnp.concatenate([store.surf_valid[cur_i],
+                                    store.corner_valid[cur_i]])
+        cloud_w = so3.quat_rotate(q_c[None, :], cloud) + p_c[None, :]
+        cloud_ds, cloud_ds_ok = voxel_downsample(cloud_w, cloud_ok,
+                                                 cfg.map_surf_leaf, cloud_cap)
 
-    R, t, fitness = icp_align(cloud_ds, cloud_ds_ok, submap, submap_ok)
+        R, t, fitness = icp_align(cloud_ds, cloud_ds_ok, submap, submap_ok)
+
+        # corrected current pose: T_corr = (R, t) ∘ T_cur
+        q_icp = so3.mat_to_quat(R)
+        p_corr = so3.quat_rotate(q_icp, p_c) + t
+        q_corr = so3.quat_normalize(so3.quat_mul(q_icp, q_c))
+
+        # measured relative transform matched -> corrected current
+        p_m, q_m = store.pos[idx], store.quat[idx]
+        q_rel = so3.quat_normalize(so3.quat_mul(so3.quat_inv(q_m), q_corr))
+        t_rel = so3.quat_rotate_inv(q_m, p_corr - p_m)
+        return t_rel, q_rel, fitness
+
+    def skip(_):
+        return (jnp.zeros(3, dtype), so3.quat_identity(dtype),
+                jnp.asarray(jnp.inf, dtype))
+
+    t_rel, q_rel, fitness = jax.lax.cond(found, align, skip, None)
     accepted = found & (fitness < cfg.history_keyframe_fitness_score)
-
-    # corrected current pose: T_corr = (R, t) ∘ T_cur
-    q_icp = so3.mat_to_quat(R)
-    p_corr = so3.quat_rotate(q_icp, p_c) + t
-    q_corr = so3.quat_normalize(so3.quat_mul(q_icp, q_c))
-
-    # measured relative transform matched -> corrected current
-    p_m, q_m = store.pos[idx], store.quat[idx]
-    q_rel = so3.quat_normalize(so3.quat_mul(so3.quat_inv(q_m), q_corr))
-    t_rel = so3.quat_rotate_inv(q_m, p_corr - p_m)
     return idx, found, accepted, t_rel, q_rel, fitness

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from lins_tpu.config import SlamConfig
 from lins_tpu.geom import so3
+from lins_tpu.ops.lin3 import eigh_sym3x3, solve_sym3x3
 from lins_tpu.ops.voxel import top_k_nn
 
 
@@ -35,7 +36,8 @@ def corner_residuals(q_pts, q_valid, t, q, map_pts, map_valid):
     c = jnp.mean(nn, axis=1)                  # centroid
     dcm = nn - c[:, None, :]
     A = jnp.einsum("nki,nkj->nij", dcm, dcm) / 5.0
-    w, V = jnp.linalg.eigh(A)                 # ascending
+    w, V = eigh_sym3x3(A)                     # ascending; closed form —
+    # jnp.linalg.eigh costs ~2 ms per call at this batch size on TPU
     lam1, lam2 = w[:, 2], w[:, 1]
     linear = lam1 > 3.0 * lam2
     v = V[:, :, 2]                            # principal direction
@@ -66,8 +68,7 @@ def surf_residuals(q_pts, q_valid, t, q, map_pts, map_valid):
     # solve A n = -1 (plane n·x + 1 = 0) via normal equations
     AtA = jnp.einsum("nki,nkj->nij", nn, nn)
     Atb = -jnp.sum(nn, axis=1)
-    n = jnp.linalg.solve(AtA + 1e-9 * jnp.eye(3, dtype=q_pts.dtype),
-                         Atb[..., None])[..., 0]
+    n = solve_sym3x3(AtA + 1e-9 * jnp.eye(3, dtype=q_pts.dtype), Atb)
     norm = jnp.linalg.norm(n, axis=-1)
     norm_safe = jnp.maximum(norm, 1e-12)
     pa = n / norm_safe[:, None]
