@@ -21,18 +21,20 @@ import jax.numpy as jnp
 
 from lins_tpu.config import SlamConfig
 from lins_tpu.geom import so3
+from lins_tpu.ops.grid_nn import build_grid, grid_knn
 from lins_tpu.ops.lin3 import eigh_sym3x3, solve_sym3x3
-from lins_tpu.ops.voxel import top_k_nn
 
 
-def corner_residuals(q_pts, q_valid, t, q, map_pts, map_valid):
+def corner_residuals(q_pts, q_valid, t, q, grid):
     """Point-to-line residuals vs 5-NN PCA lines
-    (cornerOptimization, lidar_mapping_node.cpp:1351-1458)."""
-    p_w = so3.quat_rotate(q[None, :], q_pts) + t[None, :]
-    idx, d2 = top_k_nn(p_w, q_valid, map_pts, map_valid, k=5)
-    near = d2[:, 4] < 1.0
+    (cornerOptimization, lidar_mapping_node.cpp:1351-1458).
 
-    nn = map_pts[idx]                         # (Q,5,3)
+    5-NN via the 1 m voxel-hash grid (ops/grid_nn.py) — identical accepted
+    matches to brute force because the `d2[4] < 1.0` gate below bounds the
+    useful search radius to one cell."""
+    p_w = so3.quat_rotate(q[None, :], q_pts) + t[None, :]
+    nn, d2 = grid_knn(p_w, q_valid, grid, k=5)   # (Q,5,3), (Q,5)
+    near = d2[:, 4] < 1.0
     c = jnp.mean(nn, axis=1)                  # centroid
     dcm = nn - c[:, None, :]
     A = jnp.einsum("nki,nkj->nij", dcm, dcm) / 5.0
@@ -57,14 +59,13 @@ def corner_residuals(q_pts, q_valid, t, q, map_pts, map_valid):
     return p_w, grad * s[:, None], s * res, ok
 
 
-def surf_residuals(q_pts, q_valid, t, q, map_pts, map_valid):
+def surf_residuals(q_pts, q_valid, t, q, grid):
     """Point-to-plane residuals vs 5-NN plane fits
-    (surfOptimization, lidar_mapping_node.cpp:1460-1521)."""
+    (surfOptimization, lidar_mapping_node.cpp:1460-1521).  5-NN via the
+    voxel-hash grid, same argument as corner_residuals."""
     p_w = so3.quat_rotate(q[None, :], q_pts) + t[None, :]
-    idx, d2 = top_k_nn(p_w, q_valid, map_pts, map_valid, k=5)
+    nn, d2 = grid_knn(p_w, q_valid, grid, k=5)   # (Q,5,3), (Q,5)
     near = d2[:, 4] < 1.0
-
-    nn = map_pts[idx]                         # (Q,5,3)
     # solve A n = -1 (plane n·x + 1 = 0) via normal equations
     AtA = jnp.einsum("nki,nkj->nij", nn, nn)
     Atb = -jnp.sum(nn, axis=1)
@@ -108,12 +109,17 @@ def scan_to_map(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
     enough_map = ((jnp.sum(corner_map_valid) > 10)
                   & (jnp.sum(surf_map_valid) > 100))
 
+    # hash the (fixed) local maps once; only the queries move per iteration
+    corner_grid = build_grid(corner_map, corner_map_valid, cell=1.0,
+                             table=8192)
+    surf_grid = build_grid(surf_map, surf_map_valid, cell=1.0, table=16384)
+
     def body(carry):
         t, q, it, conv, proj, nm = carry
         pc, cc, rc, okc = corner_residuals(corner_pts, corner_valid, t, q,
-                                           corner_map, corner_map_valid)
+                                           corner_grid)
         ps, cs, rs, oks = surf_residuals(surf_pts, surf_valid, t, q,
-                                         surf_map, surf_map_valid)
+                                         surf_grid)
         # normal equations over both residual sets (body-frame points)
         H1, b1, n1 = _gn_normal_eqs(corner_pts, cc, rc, okc, q)
         H2, b2, n2 = _gn_normal_eqs(surf_pts, cs, rs, oks, q)

@@ -1,0 +1,219 @@
+"""Voxel-hash grid k-NN: the TPU-native replacement for the mapping KD-trees
+(lidar_mapping_node.cpp:1355-1357, 1465) on large reference sets.
+
+`top_k_nn` (ops/voxel.py) is exact brute force: it streams a (Q, R) distance
+matrix through HBM and a `lax.top_k` per chunk — ~34 ms per scan-to-map GN
+iteration at the VLP-16 local-map sizes (4096x65536 surf + 1024x32768
+corner), 10 iterations per mapping step.  But scan-to-map only *accepts* a
+correspondence when the 5th neighbor lies within 1 m (`d2[:, 4] < 1.0`,
+cornerOptimization/surfOptimization's `pointSearchSqDis[4] < 1.0`), so
+neighbors beyond 1 m never matter.  This module exploits that: bin map
+points into 1 m voxel cells once per mapping step, then each query gathers
+candidates only from its 27-cell neighborhood — every point within 1 m of
+the query is guaranteed covered, so the accepted correspondence set is
+IDENTICAL to brute force except when a cell overflows its fixed capacity
+(rare at map voxel-filter densities; at the default leaf sizes a 1 m cell
+holds at most ceil(1/leaf)^3 voxel centroids, i.e. 27 at the 0.4 m surf
+leaf — within the default cap).
+
+Layout matters on TPU: candidates are stored DENSELY per bucket as
+(table, cap*3) rows so a query's neighborhood is 27 wide-row gathers
+(~384 B each) instead of 27*cap scattered 12 B row gathers — measured 4.5x
+faster on v5e.  Build cost: one argsort of R int32 keys + one scatter.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HashGrid:
+    cells: jnp.ndarray    # (table, 3, cap) bucket-major candidate points
+    cnt: jnp.ndarray      # (table,) valid points per bucket (<= cap)
+    cell: float = dataclasses.field(metadata=dict(static=True))
+    table: int = dataclasses.field(metadata=dict(static=True))
+    cap: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _bucket_of(cid: jnp.ndarray, table: int) -> jnp.ndarray:
+    """Hash integer cell coords (..., 3) to a bucket id in [0, table)."""
+    h = ((cid[..., 0] * 73856093) ^ (cid[..., 1] * 19349663)
+         ^ (cid[..., 2] * 83492791))
+    return jnp.abs(h) % table
+
+
+def build_grid(pts: jnp.ndarray, valid: jnp.ndarray, cell: float,
+               table: int = 16384, cap: int = 32) -> HashGrid:
+    """Bin a masked (R, 3) point set into hashed voxel-cell buckets.
+
+    Points are sorted by bucket id (one lax.sort carrying x/y/z as values —
+    cheaper than argsort + a narrow-row gather on TPU), assigned a slot
+    (rank within their bucket's run), and scattered component-wise into a
+    dense (table, 3, cap) store; slots beyond `cap` are dropped (counted
+    out of `cnt` too, so queries never see stale zeros as candidates).
+    """
+    R = pts.shape[0]
+    cid = jnp.floor(pts / cell).astype(jnp.int32)
+    b = _bucket_of(cid, table)
+    b = jnp.where(valid, b, table).astype(jnp.int32)
+
+    b_s, xs, ys, zs = jax.lax.sort(
+        (b, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1)
+
+    # slot = rank within the bucket's run of the sorted array
+    ar = jnp.arange(R, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, ar, -1))
+    slot = ar - run_start
+
+    keep = (b_s < table) & (slot < cap)
+    flat = jnp.where(keep, b_s * 3 * cap + slot, table * 3 * cap)
+    buf = jnp.zeros((table * 3 * cap + 1,), pts.dtype)
+    for i, c in ((0, xs), (1, ys), (2, zs)):
+        buf = buf.at[flat + i * cap].set(c, mode="drop")
+    cells = buf[:-1].reshape(table, 3, cap)
+    cnt = jnp.zeros((table,), jnp.int32).at[jnp.minimum(b_s, table - 1)].add(
+        keep.astype(jnp.int32), mode="drop")
+    return HashGrid(cells=cells, cnt=cnt, cell=float(cell),
+                    table=int(table), cap=int(cap))
+
+
+def build_grid_voxelized(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
+                         m: int, table: int = 16384, cap: int = 32):
+    """Voxel-filter a masked (R, 3) point set AND bin the centroids into the
+    hash grid, fused into ONE sort.
+
+    Replaces the two-stage `voxel_downsample(raw local map)` +
+    `build_grid(filtered map)` pipeline of the mapping backend (PCL
+    VoxelGrid at lidar_mapping_node.cpp:283-291, KD-tree build :1355): the
+    raw window points are sorted once by a composite key
+    (cell bucket | voxel-in-cell | cell checksum); voxel centroids are run
+    means, and each voxel-run's rank within its cell run is its slot in the
+    dense (table, 3, cap) store.
+
+    The grid cell edge is `leaf * m` — an exact multiple so voxels never
+    straddle cell boundaries (the centroid set is identical to running PCL's
+    filter then binning).  `m` must satisfy leaf*m >= 1.0 for the 1 m NN
+    acceptance-gate coverage argument (grid_knn docstring): m=5 for the
+    0.2 m corner leaf, m=3 for the 0.4 m surf leaf.  The 6-bit cell
+    checksum separates two cells that collide into one bucket — without it
+    their equal voxel-in-cell ids would merge into corrupt centroids; with
+    it a merge needs a (bucket, lid, checksum) triple collision.
+
+    Returns (HashGrid, n_voxels) — n_voxels the exact voxel-centroid count
+    (the `sum(map_valid)` equivalent for sufficiency checks).
+    """
+    R = pts.shape[0]
+    m3 = m * m * m
+    vox = jnp.floor(pts / leaf).astype(jnp.int32)
+    cellv = jnp.floor_divide(vox, m)
+    bucket = _bucket_of(cellv, table)
+    lv = vox - cellv * m                                       # in [0, m)^3
+    lid = (lv[:, 0] * m + lv[:, 1]) * m + lv[:, 2]
+    chk = jnp.abs((cellv[:, 0] * 1032527
+                   + cellv[:, 1] * 40503
+                   + cellv[:, 2] * 65537)) % 64
+    key = (bucket * m3 + lid) * 64 + chk
+    key = jnp.where(valid, key, table * m3 * 64).astype(jnp.int32)
+
+    key_s, xs, ys, zs = jax.lax.sort(
+        (key, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1)
+    vmask = key_s < table * m3 * 64                            # valid rows
+
+    ar = jnp.arange(R, dtype=jnp.int32)
+    vstart = jnp.concatenate([jnp.ones((1,), bool),
+                              key_s[1:] != key_s[:-1]]) & vmask
+
+    # voxel-run centroids via cumulative sums (cf. ops/voxel.py)
+    def runsum(c):
+        cs = jnp.concatenate([jnp.zeros((1,), c.dtype),
+                              jnp.cumsum(jnp.where(vmask, c, 0.0))])
+        return cs
+
+    nxt = jnp.concatenate([vstart[1:], jnp.ones((1,), bool)])
+    pos = jnp.where(nxt, ar + 1, R)
+    next_pos = jax.lax.associative_scan(jnp.minimum, pos, reverse=True)
+    cs_mask = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(vmask.astype(jnp.int32))])
+    cnt_run = cs_mask[next_pos] - cs_mask[ar]
+    denom = jnp.maximum(cnt_run, 1).astype(pts.dtype)
+    cent = [(runsum(c)[next_pos] - runsum(c)[ar]) / denom
+            for c in (xs, ys, zs)]
+
+    # slot = rank of this voxel run within its cell bucket's run
+    bkt_s = key_s // (m3 * 64)
+    bstart = jnp.concatenate([jnp.ones((1,), bool),
+                              bkt_s[1:] != bkt_s[:-1]])
+    ex = jnp.cumsum(vstart.astype(jnp.int32)) - vstart.astype(jnp.int32)
+    base = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(bstart, ex, -1))
+    slot = ex - base
+
+    keep = vstart & (slot < cap)
+    bkt_c = jnp.minimum(bkt_s, table - 1)
+    flat = jnp.where(keep, bkt_c * 3 * cap + slot, table * 3 * cap)
+    buf = jnp.zeros((table * 3 * cap + 1,), pts.dtype)
+    for i, c in enumerate(cent):
+        buf = buf.at[flat + i * cap].set(c, mode="drop")
+    cells = buf[:-1].reshape(table, 3, cap)
+    cnt = jnp.zeros((table,), jnp.int32).at[bkt_c].add(
+        keep.astype(jnp.int32), mode="drop")
+    n_voxels = jnp.sum(vstart.astype(jnp.int32))
+    grid = HashGrid(cells=cells, cnt=cnt, cell=float(leaf * m),
+                    table=int(table), cap=int(cap))
+    return grid, n_voxels
+
+
+# the 27 neighbor-cell offsets, (27, 3) — numpy so importing this module
+# never initializes a JAX backend
+_OFFS = np.stack(np.meshgrid(*([np.arange(-1, 2)] * 3),
+                             indexing="ij"), -1).reshape(-1, 3)
+
+
+def grid_knn(query: jnp.ndarray, q_valid: jnp.ndarray, grid: HashGrid,
+             k: int = 5):
+    """k nearest grid points of each query within its 27-cell neighborhood.
+
+    Returns (nn (Q, k, 3), d2 (Q, k)); slots beyond the number of in-range
+    candidates get +inf distance (and the query point itself as `nn`, so
+    downstream math stays finite).  Matches brute-force `top_k_nn` wherever
+    the 5th-NN-within-1-cell acceptance gate passes, except on bucket
+    overflow (see build_grid).
+    """
+    Q = query.shape[0]
+    cap = grid.cap
+    cid = jnp.floor(query / grid.cell).astype(jnp.int32)        # (Q, 3)
+    nb = cid[:, None, :] + jnp.asarray(_OFFS, jnp.int32)[None]  # (Q, 27, 3)
+    bb = _bucket_of(nb, grid.table)                             # (Q, 27)
+    # two neighbor cells hashing to the same bucket would contribute the
+    # same candidates twice and let top_k pick duplicate points (wrong 5-NN
+    # geometry); keep only the first occurrence of each bucket per query
+    n_off = bb.shape[1]
+    tri = np.tril(np.ones((n_off, n_off), bool), -1)
+    dup = jnp.any((bb[:, :, None] == bb[:, None, :]) & tri[None], axis=-1)
+
+    cand = grid.cells[bb]                  # (Q, 27, 3, cap) wide-row gather
+    n_in = grid.cnt[bb]                                         # (Q, 27)
+    ok = (jnp.arange(cap, dtype=jnp.int32)[None, None, :] < n_in[:, :, None]
+          ) & ~dup[:, :, None]
+
+    diff = cand - query[:, None, :, None]
+    d2 = jnp.sum(diff * diff, axis=2)                           # (Q, 27, cap)
+    d2 = jnp.where(ok, d2, jnp.inf).reshape(Q, n_off * cap)
+    d2 = jnp.where(q_valid[:, None], d2, jnp.inf)
+    neg_d, sel = jax.lax.top_k(-d2, k)
+    # recover the selected points component-wise ((Q, 27*cap) flat order
+    # matches d2's cell-major flatten)
+    flat_c = cand.transpose(0, 2, 1, 3).reshape(Q, 3, n_off * cap)
+    nn = jnp.stack([jnp.take_along_axis(flat_c[:, i, :], sel, axis=1)
+                    for i in range(3)], axis=-1)                # (Q, k, 3)
+    d2k = -neg_d
+    # inf-distance slots: park nn on the query itself (finite, in-bounds)
+    nn = jnp.where(jnp.isfinite(d2k)[:, :, None], nn, query[:, None, :])
+    return nn, d2k

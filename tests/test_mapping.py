@@ -11,6 +11,7 @@ from lins_tpu.geom import so3
 from lins_tpu.mapping import keyframes as kf
 from lins_tpu.mapping.scan2map import (
     corner_residuals, scan_to_map, surf_residuals)
+from lins_tpu.ops.grid_nn import build_grid, grid_knn
 from lins_tpu.ops.voxel import top_k_nn, voxel_downsample
 
 CFG = VLP16.replace(max_points=28800)
@@ -47,6 +48,55 @@ class TestVoxelOps:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestGridNN:
+    """grid_knn vs the exact brute-force oracle under the 1 m acceptance
+    gate (everything scan_to_map consumes is gated on d2[:, 4] < 1.0, so
+    the two must agree wherever that gate passes)."""
+
+    def test_matches_bruteforce_within_gate(self):
+        rng = np.random.default_rng(7)
+        # clustered map points (realistic voxel-filtered density)
+        centers = rng.uniform(-20, 20, size=(60, 3))
+        r = np.concatenate([c + rng.normal(scale=0.6, size=(40, 3))
+                            for c in centers]).astype(np.float32)
+        rv = jnp.asarray(rng.uniform(size=len(r)) > 0.1)
+        q = jnp.asarray(r[rng.integers(0, len(r), 300)]
+                        + rng.normal(scale=0.3, size=(300, 3)).astype(
+                            np.float32))
+        qv = jnp.ones(300, bool)
+
+        grid = build_grid(jnp.asarray(r), rv, cell=1.0, table=4096, cap=64)
+        nn_g, d2_g = grid_knn(q, qv, grid, k=5)
+        _, d2_b = top_k_nn(q, qv, jnp.asarray(r), rv, k=5, chunk=512)
+
+        gate = np.asarray(d2_b[:, 4]) < 1.0
+        assert gate.sum() > 50   # the fixture must exercise the gate
+        # brute force computes d2 as |q|^2+|r|^2-2qr (catastrophic
+        # cancellation at |x|~20 in f32), grid as |q-r|^2 — hence atol
+        np.testing.assert_allclose(np.asarray(d2_g)[gate],
+                                   np.asarray(d2_b)[gate], rtol=1e-3,
+                                   atol=2e-3)
+        # grid never reports a closer neighbor than the exact search
+        assert np.all(np.asarray(d2_g) >= np.asarray(d2_b) - 2e-3)
+
+    def test_invalid_and_empty(self):
+        r = jnp.asarray(np.zeros((16, 3), np.float32))
+        grid = build_grid(r, jnp.zeros(16, bool), cell=1.0, table=64)
+        q = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+        nn, d2 = grid_knn(q, jnp.ones(1, bool), grid, k=5)
+        assert bool(jnp.all(jnp.isinf(d2)))
+        assert bool(jnp.all(jnp.isfinite(nn)))   # parked on the query
+
+    def test_invalid_query_masked(self):
+        r = jnp.asarray(np.random.default_rng(0).normal(
+            size=(64, 3)).astype(np.float32))
+        grid = build_grid(r, jnp.ones(64, bool), cell=1.0, table=256)
+        q = r[:3]
+        nn, d2 = grid_knn(q, jnp.asarray([True, False, True]), grid, k=3)
+        assert bool(jnp.all(jnp.isinf(d2[1])))
+        assert float(d2[0, 0]) < 1e-9   # the point itself
+
+
 class TestResiduals:
     def test_corner_line(self):
         # map: points along a line; query 0.3 off the line
@@ -56,7 +106,7 @@ class TestResiduals:
         q_pts = jnp.asarray([[0.0, 0.3, 0.0]], jnp.float32)
         p_w, coeff, res, ok = corner_residuals(
             q_pts, jnp.ones(1, bool), jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]),
-            map_pts, jnp.ones(8, bool))
+            build_grid(map_pts, jnp.ones(8, bool), cell=1.0, table=64))
         assert bool(ok[0])
         # s = 1 - 0.9*0.3 = 0.73 ; res = s * 0.3
         np.testing.assert_allclose(float(res[0]), 0.73 * 0.3, atol=1e-5)
@@ -73,7 +123,7 @@ class TestResiduals:
         q_pts = jnp.asarray([[0.1, 0.1, 1.2]], jnp.float32)
         p_w, coeff, res, ok = surf_residuals(
             q_pts, jnp.ones(1, bool), jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]),
-            map_pts, jnp.ones(12, bool))
+            build_grid(map_pts, jnp.ones(12, bool), cell=1.0, table=64))
         assert bool(ok[0])
         s = 1 - 0.9 * 0.2 / np.sqrt(np.sqrt(np.linalg.norm([0.1, 0.1, 1.2])))
         np.testing.assert_allclose(abs(float(res[0])), s * 0.2, atol=1e-4)
@@ -87,7 +137,7 @@ class TestResiduals:
         q_pts = jnp.asarray([[0.0, 0.05, 0.0]], jnp.float32)
         _, _, _, ok = corner_residuals(
             q_pts, jnp.ones(1, bool), jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]),
-            map_pts, jnp.ones(12, bool))
+            build_grid(map_pts, jnp.ones(12, bool), cell=1.0, table=64))
         assert not bool(ok[0])
 
 
