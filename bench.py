@@ -1,23 +1,21 @@
-"""Benchmark harness: end-to-end LiDAR-inertial odometry throughput per chip.
+"""Benchmark harness: end-to-end SLAM throughput per chip.
 
 Prints ONE JSON line:
-  {"metric": "odometry_scans_per_sec", "value": N, "unit": "scans/s",
-   "vs_baseline": N/10}
+  {"metric": "slam_scans_per_sec", "value": N, "unit": "scans/s",
+   "vs_baseline": N/10, "odometry_scans_per_sec": M}
 
 Baseline: the reference LINS operates in real time on a VLP-16 stream —
 10 scans/s (BASELINE.md); vs_baseline is the speed-up over that real-time
 rate (build target: >= 10x, i.e. >= 100 scans/s/chip).
 
-The measured path is the full pipeline on the default backend (TPU when
-available): front-end (projection/segmentation/features), IMU propagation,
-and the iterated ESKF update, on a raycast synthetic VLP-16 sequence with
-400 Hz IMU, in the chunked replay mode — K scans per chunk, processed as
-3 device dispatches (vmapped XLA pre -> vmapped Mosaic label kernel ->
-lax.scan over post + running step), with scan buffers prefetched to HBM
-(mid-stream transfers serialize against queued compute on the relay).
-Chunking amortizes the per-dispatch cost of the remote-attached TPU;
-results are bit-identical to the per-scan streaming path (tested in
-tests/test_odometry.py).
+The headline metric is the FULL pipeline at full VLP-16 size: front-end
+(projection/segmentation/features), IMU propagation, iterated ESKF update,
+scan-to-map refinement at the reference's 0.3 s cadence, loop-closure
+attempts at 1 Hz, pose-graph bookkeeping, and high-rate pose fusion — i.e.
+everything the reference's 4 ROS nodes do, in the chunked replay mode
+(K scans per device dispatch, buffers prefetched to HBM; mid-stream
+transfers serialize against queued compute on the relay).  The secondary
+odometry_scans_per_sec field is the odometry-only rate (round-1 headline).
 """
 from __future__ import annotations
 
@@ -27,47 +25,31 @@ import time
 import numpy as np
 
 
-def main():
+def _drain_imu(est, data, imu_i, t_end):
+    while (imu_i < len(data["imu_times"])
+           and data["imu_times"][imu_i] <= t_end + 1e-9):
+        est.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
+                    data["imu_gyr"][imu_i])
+        imu_i += 1
+    return imu_i
+
+
+def bench_odometry(cfg, data, K=32, n_chunks=3, warmup=6):
     import jax
 
-    from lins_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    from lins_tpu.config import VLP16
-    from lins_tpu.datasets import synthetic as syn
     from lins_tpu.odometry import LinsOdometry
 
-    on_tpu = jax.default_backend() != "cpu"
-    # Mosaic label kernel (1.5 ms vs ~5 ms XLA label propagation) on TPU;
-    # interpret-mode Pallas is too slow for a CPU bench run
-    cfg = VLP16.replace(max_points=28800, use_pallas=on_tpu)
-    K = 32
-    n_chunks = 3          # timed chunks per pass
-    warmup = 6            # per-scan streaming warm-up (compiles + pipeline)
     n_scans = warmup + (n_chunks + 1) * K
-    data = syn.generate_sequence(cfg, n_scans=n_scans, kind="gentle",
-                                 speed=1.5)
 
     def one_pass():
         odo = LinsOdometry(cfg)
         imu_i = 0
         for k in range(warmup):
             t_scan = data["scan_times"][k] + cfg.scan_period
-            while (imu_i < len(data["imu_times"])
-                   and data["imu_times"][imu_i] <= t_scan + 1e-9):
-                odo.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
-                            data["imu_gyr"][imu_i])
-                imu_i += 1
+            imu_i = _drain_imu(odo, data, imu_i, t_scan)
             odo.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
-        while imu_i < len(data["imu_times"]):
-            odo.add_imu(data["imu_times"][imu_i], data["imu_acc"][imu_i],
-                        data["imu_gyr"][imu_i])
-            imu_i += 1
+        imu_i = _drain_imu(odo, data, imu_i, np.inf)
 
-        # stage the replay chunks AND their IMU batches on device
-        # (prefetch_chunks docstring explains why transfers must not
-        # interleave with the hot loop)
         ks = list(range(warmup, n_scans))
         chunks = odo.prefetch_chunks(
             [data["scan_times"][k] + cfg.scan_period for k in ks],
@@ -89,12 +71,100 @@ def main():
 
     # two passes (compiles cached after the first); best window — the
     # remote-attached TPU's throughput fluctuates run to run
-    scans_per_sec = max(one_pass(), one_pass())
+    return max(one_pass(), one_pass()), n_scans
+
+
+def bench_slam(cfg, data, K=32, n_chunks=3, warmup=6):
+    """Full pipeline (odometry + mapping + loop closure + fusion)."""
+    import jax
+
+    from lins_tpu.odometry.estimator import STATUS_RUNNING
+    from lins_tpu.slam import LinsSlam
+
+    n_scans = warmup + (n_chunks + 1) * K
+
+    def one_pass():
+        slam = LinsSlam(cfg)
+        slam.warmup(chunk=K)
+        imu_i = 0
+        k = 0
+        while k < warmup or slam.odometry.status != STATUS_RUNNING:
+            t_scan = data["scan_times"][k] + cfg.scan_period
+            imu_i = _drain_imu(slam.odometry, data, imu_i, t_scan)
+            slam.add_scan(t_scan, data["scans_xyz"][k], data["scans_n"][k])
+            k += 1
+        imu_i = _drain_imu(slam.odometry, data, imu_i, np.inf)
+
+        ks = list(range(k, n_scans))
+        scan_ts = [data["scan_times"][j] + cfg.scan_period for j in ks]
+        from lins_tpu.mapping.mapper import imu_roll_pitch
+        imu_t = np.asarray(slam.odometry._imu_t, float)
+        imu_a = np.stack(slam.odometry._imu_a)
+        rp_all = np.full((len(ks), 2), np.nan)
+        for i, t in enumerate(scan_ts):
+            j = np.searchsorted(imu_t, t + 1e-9) - 1
+            if j >= 0:
+                rp_all[i] = imu_roll_pitch(imu_a[j], cfg.gravity)
+        chunks = slam.odometry.prefetch_chunks(
+            scan_ts, [data["scans_xyz"][j] for j in ks],
+            [data["scans_n"][j] for j in ks], chunk=K, with_imu=True)
+        staged = []
+        for ci, c in enumerate(chunks):
+            ts = c[0]
+            mf, lf = slam.mapper.plan_chunk(ts)
+            staged.append((
+                jax.device_put(np.asarray(ts, np.float32)), mf, lf,
+                (jax.device_put(mf), jax.device_put(lf)),
+                jax.device_put(np.asarray(
+                    rp_all[ci * K:(ci + 1) * K], slam.odometry.dtype))))
+        jax.block_until_ready([s[0] for s in staged])
+
+        def run_chunk(c, st):
+            ts, xs, ns, imu = c
+            ts_dev, mf, lf, fdev, rp_dev = st
+            slam.odometry.add_scan_chunk(ts, xs, ns, imu=imu)
+            slam._post_chunk(ts, ts_dev, mf, lf, fdev, rp_dev)
+
+        run_chunk(chunks[0], staged[0])   # compile + warm
+        np.asarray(slam.trajectory[-1][1])
+        t0 = time.perf_counter()
+        for c in range(1, n_chunks + 1):
+            run_chunk(chunks[c], staged[c])
+        np.asarray(slam.trajectory[-1][1])
+        return n_chunks * K / (time.perf_counter() - t0)
+
+    return max(one_pass(), one_pass())
+
+
+def main():
+    import jax
+
+    from lins_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from lins_tpu.config import VLP16
+    from lins_tpu.datasets import synthetic as syn
+
+    on_tpu = jax.default_backend() != "cpu"
+    # Mosaic label kernel (1.5 ms vs ~5 ms XLA label propagation) on TPU;
+    # interpret-mode Pallas is too slow for a CPU bench run
+    cfg = VLP16.replace(max_points=28800, use_pallas=on_tpu)
+    K = 32
+    n_chunks = 3
+    warmup = 6
+    n_scans = warmup + (n_chunks + 1) * K
+    data = syn.generate_sequence(cfg, n_scans=n_scans, kind="gentle",
+                                 speed=1.5)
+
+    odo_rate, _ = bench_odometry(cfg, data, K, n_chunks, warmup)
+    slam_rate = bench_slam(cfg, data, K, n_chunks, warmup)
     print(json.dumps({
-        "metric": "odometry_scans_per_sec",
-        "value": round(scans_per_sec, 2),
+        "metric": "slam_scans_per_sec",
+        "value": round(slam_rate, 2),
         "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / 10.0, 3),
+        "vs_baseline": round(slam_rate / 10.0, 3),
+        "odometry_scans_per_sec": round(odo_rate, 2),
     }))
 
 

@@ -49,6 +49,12 @@ class SlamConfig:
     feature_mode: str = "fast"
     # run hot ops as Pallas kernels (TPU; falls back to interpret on CPU)
     use_pallas: bool = False
+    # fused Mosaic association+normal-equation kernels inside the IESKF
+    # iteration (ops/pallas_assoc.py).  Off by default: the remote TPU
+    # relay in this environment crashes on Mosaic kernels embedded in
+    # large fused programs (commit 96a1e37); on locally-attached TPUs
+    # flip this on.  Parity-tested against the XLA path either way.
+    use_pallas_assoc: bool = False
     edge_feature_num: int = 2        # sharp corners per sector
     edge_less_feature_num: int = 20  # less-sharp corners per sector
     surf_feature_num: int = 4        # flat surf per sector

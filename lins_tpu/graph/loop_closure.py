@@ -24,19 +24,19 @@ from lins_tpu.ops.voxel import top_k_nn, voxel_downsample
 
 def detect_loop(store: kf.KeyframeStore, cur: jnp.ndarray, cur_time,
                 cfg: SlamConfig):
-    """Nearest old keyframe within radius (detectLoopClosure :1043-1112).
-
-    Returns (index, found)."""
-    pos = store.pos
-    ids = jnp.arange(pos.shape[0])
-    d = jnp.linalg.norm(pos - pos[cur][None, :], axis=1)
-    old = ((ids < store.count)
+    """Nearest old live keyframe within radius
+    (detectLoopClosure :1043-1112).  `cur` is an ABSOLUTE keyframe id
+    (ring store); returns (matched absolute id, found)."""
+    K = store.capacity
+    cur_slot = (cur % K).astype(jnp.int32)
+    d = jnp.linalg.norm(store.pos - store.pos[cur_slot][None, :], axis=1)
+    old = (kf.live_mask(store)
            & (cur_time - store.time > cfg.loop_time_gate)
-           & (ids != cur))
+           & (store.kf_id != cur))
     d = jnp.where(old, d, jnp.inf)
-    idx = jnp.argmin(d)
-    found = d[idx] < cfg.history_keyframe_search_radius
-    return idx.astype(jnp.int32), found
+    slot = jnp.argmin(d)
+    found = d[slot] < cfg.history_keyframe_search_radius
+    return store.kf_id[slot].astype(jnp.int32), found
 
 
 def _umeyama(src, dst, w):
@@ -88,10 +88,12 @@ def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
                    submap_cap: int = 16384, cloud_cap: int = 8192):
     """Detect + align one loop candidate (performLoopClosure :1114-1186).
 
-    Returns (matched_idx, found, accepted, t_rel, q_rel, fitness) where
-    (t_rel, q_rel) is the measured transform from the matched keyframe to the
-    corrected current keyframe pose."""
+    Returns (matched_id, found, accepted, t_rel, q_rel, fitness) where ids
+    are ABSOLUTE keyframe ids (ring store) and (t_rel, q_rel) is the
+    measured transform from the matched keyframe to the corrected current
+    keyframe pose."""
     dtype = store.pos.dtype
+    K = store.capacity
     idx, found = detect_loop(store, cur, cur_time, cfg)
 
     def align(_):
@@ -99,11 +101,13 @@ def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
         # (performLoopClosure :1118-1121 returns before align); this
         # lax.cond branch keeps the 1 Hz no-candidate attempt nearly free
         # (measured 16.5 ms/attempt unconditionally on the tiny preset).
-        # submap: ±history_keyframe_search_num keyframes around the candidate
+        # submap: ±history_keyframe_search_num keyframe IDS around the
+        # candidate, masked to the live (non-evicted) id range
         n_half = cfg.history_keyframe_search_num
-        win = jnp.arange(2 * n_half + 1) - n_half + idx
-        ok_win = (win >= 0) & (win < store.count)
-        win_c = jnp.clip(win, 0, store.pos.shape[0] - 1)
+        win = jnp.arange(2 * n_half + 1, dtype=jnp.int32) - n_half + idx
+        oldest = jnp.maximum(store.count - K, 0)
+        ok_win = (win >= 0) & (win >= oldest) & (win < store.count)
+        win_c = (jnp.clip(win, 0, None) % K).astype(jnp.int32)
         # only keyframes from the OLD pass: the reference's ±25 index window
         # implicitly excludes the fresh pass because loops are hundreds of
         # keyframes apart; with a time gate this stays true for short revisits
@@ -125,7 +129,7 @@ def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
                                              cfg.map_surf_leaf, submap_cap)
 
         # current keyframe cloud in world at its current estimate
-        cur_i = jnp.clip(cur, 0, store.pos.shape[0] - 1)
+        cur_i = (jnp.clip(cur, 0, None) % K).astype(jnp.int32)
         p_c, q_c = store.pos[cur_i], store.quat[cur_i]
         cloud = jnp.concatenate([store.surf[cur_i], store.corner[cur_i]])
         cloud_ok = jnp.concatenate([store.surf_valid[cur_i],
@@ -142,7 +146,8 @@ def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
         q_corr = so3.quat_normalize(so3.quat_mul(q_icp, q_c))
 
         # measured relative transform matched -> corrected current
-        p_m, q_m = store.pos[idx], store.quat[idx]
+        m_slot = (jnp.clip(idx, 0, None) % K).astype(jnp.int32)
+        p_m, q_m = store.pos[m_slot], store.quat[m_slot]
         q_rel = so3.quat_normalize(so3.quat_mul(so3.quat_inv(q_m), q_corr))
         t_rel = so3.quat_rotate_inv(q_m, p_corr - p_m)
         return t_rel, q_rel, fitness

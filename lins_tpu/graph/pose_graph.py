@@ -48,7 +48,13 @@ def empty_edges(cap: int, dtype=jnp.float32) -> EdgeSet:
 
 
 def add_edge(e: EdgeSet, i, j, t, q, w_rot, w_pos) -> EdgeSet:
-    k = jnp.minimum(e.count, e.i.shape[0] - 1).astype(jnp.int32)
+    """Append an edge at ring slot count % E.  With ring keyframe eviction
+    (mapping/keyframes.py) old edges reference evicted nodes and are masked
+    out by live_view, so overwriting the oldest edge is the matching
+    retirement policy (a still-live loop edge could in principle be
+    overwritten after E more edges — at E = max_keyframes + 128 that means
+    the loop partner is itself about to evict)."""
+    k = (e.count % e.i.shape[0]).astype(jnp.int32)
     return e._replace(
         i=e.i.at[k].set(jnp.asarray(i, jnp.int32)),
         j=e.j.at[k].set(jnp.asarray(j, jnp.int32)),
@@ -56,6 +62,18 @@ def add_edge(e: EdgeSet, i, j, t, q, w_rot, w_pos) -> EdgeSet:
         q=e.q.at[k].set(q.astype(e.q.dtype)),
         w_rot=e.w_rot.at[k].set(w_rot), w_pos=e.w_pos.at[k].set(w_pos),
         valid=e.valid.at[k].set(True), count=e.count + 1)
+
+
+def live_view(edges: EdgeSet, count, K: int) -> EdgeSet:
+    """Translate ABSOLUTE keyframe-id endpoints into ring slots of a
+    K-capacity keyframe store, retiring edges with an evicted endpoint
+    (id < count - K) — the static-shape equivalent of dropping factors on
+    marginalized nodes."""
+    oldest = jnp.maximum(count - K, 0)
+    ok = (edges.valid & (edges.i >= oldest) & (edges.j >= oldest)
+          & (edges.i < count) & (edges.j < count))
+    return edges._replace(i=(edges.i % K).astype(jnp.int32),
+                          j=(edges.j % K).astype(jnp.int32), valid=ok)
 
 
 def relative_pose(p_i, q_i, p_j, q_j):
@@ -89,20 +107,29 @@ def _edge_blocks(p_i, q_i, p_j, q_j, t_m, q_m, w_rot, w_pos):
     return r, Ji, Jj, w
 
 
+def _active_mask(active, K):
+    """Accept either a node count (legacy) or a (K,) bool live mask."""
+    active = jnp.asarray(active)
+    if active.ndim == 0:
+        return jnp.arange(K) < active
+    return active
+
+
 @partial(jax.jit, static_argnames=("iters",))
-def optimize(pos, quat, n_nodes, edges: EdgeSet, iters: int = 8,
-             prior_w: float = 1e6, damping: float = 1e-6):
-    """Batched GN over the pose graph.  pos (K,3), quat (K,4); nodes beyond
-    n_nodes are inactive.  Returns (pos, quat)."""
+def optimize(pos, quat, active, edges: EdgeSet, iters: int = 8,
+             prior_w: float = 1e6, damping: float = 1e-6,
+             prior_slot=0):
+    """Batched GN over the pose graph.  pos (K,3), quat (K,4); `active` is
+    a node count or a (K,) live mask (ring stores); `prior_slot` carries the
+    gauge prior (the oldest live node once node 0 has been evicted).
+    Returns (pos, quat)."""
     K = pos.shape[0]
-    dtype = pos.dtype
-    node_ids = jnp.arange(K)
-    active = node_ids < n_nodes
+    active = _active_mask(active, K)
 
     def gn_iter(_, state):
         pos, quat = state
         H, g = build_normal_system(pos, quat, edges)
-        dx = solve_and_clamp(H, g, active, prior_w, damping)
+        dx = solve_and_clamp(H, g, active, prior_w, damping, prior_slot)
         quat_new = so3.quat_normalize(
             so3.quat_mul(quat, so3.exp_axis(dx[:, 0:3])))
         pos_new = pos + dx[:, 3:6]
@@ -148,18 +175,130 @@ def build_normal_system(pos, quat, edges: EdgeSet):
     return H, g
 
 
-def solve_and_clamp(H, g, active, prior_w, damping):
+def solve_and_clamp(H, g, active, prior_w, damping, prior_slot=0):
     """Add gauge prior/damping, Cholesky-solve, zero inactive updates."""
     K = g.shape[0]
     dtype = g.dtype
     node_ids = jnp.arange(K)
-    diag_w = jnp.where(node_ids == 0, prior_w,
+    diag_w = jnp.where(node_ids == prior_slot, prior_w,
                        jnp.where(active, damping, prior_w))
     Hd = H.reshape(6 * K, 6 * K) + jnp.diag(
         jnp.repeat(diag_w, 6).astype(dtype))
     dx = -jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(Hd), g.reshape(-1)).reshape(K, 6)
     return jnp.where(active[:, None], dx, 0.0)
+
+
+# --- sparse (matrix-free) solve -------------------------------------------
+# The dense (6K)^2 Cholesky above walls out at a few thousand keyframes
+# (K=4096 would need a 2.4 GB normal matrix).  Pose graphs are chain+loop
+# sparse: H has one 6x6 block per node pair that shares an edge.  The
+# TPU-native sparse solve is matrix-free preconditioned CG: the Hv product
+# is a per-edge batched (6x6)@(6,) contraction plus a segment scatter-add —
+# pure data-parallel work that shards over devices with one psum per CG
+# iteration (parallel/dist_graph.make_sharded_cg_optimizer).  (A pose graph
+# has no landmark block to Schur-eliminate — gtsam's iSAM2 factors the same
+# reduced system; CG with a block-Jacobi preconditioner is its batch
+# equivalent at scale.)
+
+
+def _edge_system(pos, quat, edges: EdgeSet):
+    """Per-edge residuals/Jacobians + weights, masked. (E,6),(E,6,6)x2,(E,6)."""
+    p_i, q_i = pos[edges.i], quat[edges.i]
+    p_j, q_j = pos[edges.j], quat[edges.j]
+    r, Ji, Jj, w = jax.vmap(_edge_blocks)(
+        p_i, q_i, p_j, q_j, edges.t, edges.q, edges.w_rot, edges.w_pos)
+    ok = edges.valid
+    r = jnp.where(ok[:, None], r, 0.0)
+    Ji = jnp.where(ok[:, None, None], Ji, 0.0)
+    Jj = jnp.where(ok[:, None, None], Jj, 0.0)
+    w = jnp.where(ok[:, None], w, 0.0)
+    return r, Ji, Jj, w
+
+
+def _gradient_and_diag(r, Ji, Jj, w, i, j, K):
+    """g = J^T W r (K,6) and the block-diagonal of H (K,6,6)."""
+    gi = jnp.einsum("eri,er->ei", Ji, w * r)
+    gj = jnp.einsum("eri,er->ei", Jj, w * r)
+    g = jnp.zeros((K, 6), r.dtype).at[i].add(gi).at[j].add(gj)
+    Dii = jnp.einsum("eri,er,erj->eij", Ji, w, Ji)
+    Djj = jnp.einsum("eri,er,erj->eij", Jj, w, Jj)
+    D = jnp.zeros((K, 6, 6), r.dtype).at[i].add(Dii).at[j].add(Djj)
+    return g, D
+
+
+def _hv(v, Ji, Jj, w, i, j, diag_w, K):
+    """Matrix-free (H + diag) @ v, v (K,6)."""
+    re = (jnp.einsum("erc,ec->er", Ji, v[i])
+          + jnp.einsum("erc,ec->er", Jj, v[j]))
+    re = w * re
+    out = jnp.zeros((K, 6), v.dtype)
+    out = out.at[i].add(jnp.einsum("erc,er->ec", Ji, re))
+    out = out.at[j].add(jnp.einsum("erc,er->ec", Jj, re))
+    return out + diag_w[:, None] * v
+
+
+def _pcg(matvec, Minv, b, iters: int):
+    """Standard preconditioned CG on SPD systems, fixed iteration count
+    (static for jit; pose-graph systems at LINS scale converge in far
+    fewer — the final GN residual check is the safety net)."""
+    x = jnp.zeros_like(b)
+    r = b
+    z = Minv(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        hp = matvec(p)
+        denom = jnp.sum(p * hp)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = Minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def optimize_cg(pos, quat, active, edges: EdgeSet, iters: int = 8,
+                cg_iters: int = 64, prior_w: float = 1e6,
+                damping: float = 1e-3, prior_slot=0):
+    """Sparse pose-graph GN: same problem as `optimize`, solved matrix-free
+    with block-Jacobi-preconditioned CG — O(E) memory instead of O((6K)^2),
+    handles K=4096+ where the dense path cannot allocate."""
+    K = pos.shape[0]
+    dtype = pos.dtype
+    active = _active_mask(active, K)
+    node_ids = jnp.arange(K)
+    diag_w = jnp.where(node_ids == prior_slot, prior_w,
+                       jnp.where(active, damping, prior_w)).astype(dtype)
+
+    def gn_iter(_, state):
+        pos, quat = state
+        r, Ji, Jj, w = _edge_system(pos, quat, edges)
+        g, D = _gradient_and_diag(r, Ji, Jj, w, edges.i, edges.j, K)
+        D = D + jnp.eye(6, dtype=dtype)[None] * diag_w[:, None, None]
+        Dinv = jnp.linalg.inv(D)            # batched 6x6 (block Jacobi)
+
+        def Minv(v):
+            return jnp.einsum("kij,kj->ki", Dinv, v)
+
+        def matvec(v):
+            return _hv(v, Ji, Jj, w, edges.i, edges.j, diag_w, K)
+
+        dx = -_pcg(matvec, Minv, g, cg_iters)
+        dx = jnp.where(active[:, None], dx, 0.0)
+        quat_new = so3.quat_normalize(
+            so3.quat_mul(quat, so3.exp_axis(dx[:, 0:3])))
+        return pos + dx[:, 3:6], quat_new
+
+    return jax.lax.fori_loop(0, iters, gn_iter, (pos, quat))
 
 
 def graph_cost(pos, quat, edges: EdgeSet):

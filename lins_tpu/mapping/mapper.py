@@ -6,11 +6,17 @@ Per mapped scan (throttled to mapping_process_interval like the reference's
   1. warm-start pose = last map correction ∘ new odometry pose
      (transformAssociateToMap, :411-536 — quaternion compose instead of the
      hand-expanded Euler algebra)
-  2. voxel-downsample the scan's corner/surf clouds (:1326-1349)
-  3. assemble the local map from recent keyframes (:1201-1324)
-  4. scan-to-map GN refinement (:1635-1652)
-  5. roll/pitch blend with the odometry attitude (transformUpdate :538-577)
-  6. keyframe gating at 0.3 m (:1660-1667) + store update
+  2. voxel-downsample the scan's corner/surf/outlier clouds and merge
+     surf+outlier into the GN query set (downsampleCurrentScan, :1326-1349)
+  3. local map: CACHED hash grids over the keyframe window
+     (mapping/local_map.py) — recent-window mode when loop closure is on,
+     50 m-radius mode when off (extractSurroundingKeyFrames, :1201-1324);
+     grids rebuild only when the window content changes
+  4. scan-to-map GN refinement against the cached grids (:1635-1652)
+  5. roll/pitch blend with the latest IMU attitude, weight 0.998/0.002
+     (transformUpdate, :538-577; roll/pitch derived from the accelerometer
+     where the reference reads its driver's AHRS orientation)
+  6. keyframe gating at 0.3 m (:1660-1667) + ring store/window update
 Everything after the host-side throttle is one fused jit per mapped scan.
 """
 from __future__ import annotations
@@ -28,12 +34,14 @@ from lins_tpu.graph import loop_closure as lc
 from lins_tpu.graph import pose_graph as pg
 from lins_tpu.utils.lazy import ChunkMetrics, LazyRows
 from lins_tpu.mapping import keyframes as kf
-from lins_tpu.mapping.scan2map import scan_to_map
+from lins_tpu.mapping import local_map as lmn
+from lins_tpu.mapping.scan2map import scan_to_map_grids
 from lins_tpu.ops.voxel import voxel_downsample
 
 
 class MapperState(NamedTuple):
     store: kf.KeyframeStore
+    lmap: lmn.LocalMapState
     bef_pos: jnp.ndarray   # odometry pose at last correction
     bef_quat: jnp.ndarray
     aft_pos: jnp.ndarray   # refined pose at last correction
@@ -43,31 +51,31 @@ class MapperState(NamedTuple):
 
 
 def derive_caps(cfg: SlamConfig, corner_cap=None, surf_cap=None,
-                map_corner_cap=None, map_surf_cap=None):
-    """Capacity defaults scaled from the sensor preset (all overridable).
+                outlier_cap=None):
+    """Per-keyframe cloud capacity defaults scaled from the sensor preset.
 
     Per-keyframe clouds are the odometry feature sets voxel-downsampled at
-    the map leaf sizes (roughly halves/keeps them); the local map is a
-    50-keyframe window voxel-filtered again, so 32x/16x the per-keyframe
-    cap bounds it with margin.  For the VLP-16 preset these reproduce the
-    hand-tuned 1024/4096/32768/65536; smaller presets scale down instead of
-    paying VLP-16-sized NN matrices in the scan-to-map GN.
-    """
+    the map leaf sizes (roughly halves/keeps them).  For the VLP-16 preset
+    these reproduce the hand-tuned 1024/4096/2048."""
     corner_cap = corner_cap or max(256, cfg.max_less_sharp // 2)
     surf_cap = surf_cap or max(1024, (cfg.max_less_flat * 2) // 3)
-    map_corner_cap = map_corner_cap or min(32768, 32 * corner_cap)
-    map_surf_cap = map_surf_cap or min(65536, 16 * surf_cap)
-    return corner_cap, surf_cap, map_corner_cap, map_surf_cap
+    outlier_cap = outlier_cap or max(256, cfg.max_outlier // 2)
+    return corner_cap, surf_cap, outlier_cap
 
 
 def init_mapper(cfg: SlamConfig, corner_cap=1024, surf_cap=4096,
+                outlier_cap=2048, n_window=50, grid: lmn.GridParams = None,
                 dtype=jnp.float32) -> MapperState:
     z = jnp.zeros(3, dtype)
     e = so3.quat_identity(dtype)
-    return MapperState(store=kf.empty_store(cfg, corner_cap, surf_cap, dtype),
-                       bef_pos=z, bef_quat=e, aft_pos=z, aft_quat=e,
-                       edges=pg.empty_edges(cfg.max_keyframes + 128, dtype),
-                       n_loops=jnp.int32(0))
+    gp = grid or lmn.grid_params(cfg)
+    lm = lmn.empty_local_map(cfg, n_window, corner_cap, surf_cap,
+                             outlier_cap, dtype, gp)
+    return MapperState(
+        store=kf.empty_store(cfg, corner_cap, surf_cap, outlier_cap, dtype),
+        lmap=lm, bef_pos=z, bef_quat=e, aft_pos=z, aft_quat=e,
+        edges=pg.empty_edges(cfg.max_keyframes + 128, dtype),
+        n_loops=jnp.int32(0))
 
 
 def warm_start(state: MapperState, odo_pos, odo_quat):
@@ -81,69 +89,101 @@ def warm_start(state: MapperState, odo_pos, odo_quat):
 
 def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
                        corner_xyz, corner_valid, surf_xyz, surf_valid,
+                       outl_xyz, outl_valid, imu_rp,
                        cfg: SlamConfig, corner_cap: int, surf_cap: int,
-                       n_window: int, map_corner_cap: int, map_surf_cap: int):
+                       outlier_cap: int, n_window: int, gp: lmn.GridParams):
     dtype = state.bef_pos.dtype
     odo_pos = odo_pos.astype(dtype)
     odo_quat = odo_quat.astype(dtype)
+    radius_mode = not cfg.loop_closure_enabled
 
     t_w, q_w = warm_start(state, odo_pos, odo_quat)
 
-    # downsample the current scan (body frame)
+    # downsample the current scan (body frame); the GN surf query set is
+    # surf+outlier re-filtered together (downsampleCurrentScan, :1340-1348)
     c_ds, c_ok = voxel_downsample(corner_xyz.astype(dtype), corner_valid,
                                   cfg.map_corner_leaf, corner_cap)
     s_ds, s_ok = voxel_downsample(surf_xyz.astype(dtype), surf_valid,
                                   cfg.map_surf_leaf, surf_cap)
+    o_ds, o_ok = voxel_downsample(outl_xyz.astype(dtype), outl_valid,
+                                  cfg.map_outlier_leaf, outlier_cap)
+    st_ds, st_ok = voxel_downsample(
+        jnp.concatenate([s_ds, o_ds]), jnp.concatenate([s_ok, o_ok]),
+        cfg.map_surf_leaf, surf_cap + outlier_cap)
+
+    lmap = state.lmap
+    if radius_mode:
+        # 50 m-radius window, rebuilt only when the selected keyframe set
+        # changes (extractSurroundingKeyFrames else-branch, :1248-1324)
+        ids, okm = lmn.select_radius(
+            state.store, t_w, cfg.surrounding_keyframe_search_radius,
+            n_window)
+        changed = jnp.any(ids != lmap.sel) & (state.store.count > 0)
+        wslots = jnp.arange(n_window, dtype=jnp.int32)
+        lmap = jax.lax.cond(
+            changed,
+            lambda lm: lmn.rebuild_window(lm, state.store, ids, okm,
+                                          wslots, gp),
+            lambda lm: lm, lmap)
 
     has_map = state.store.count > 0
 
     def refine(_):
-        center = state.store.count - 1
-        cm, cmv, sm, smv = kf.assemble_local_map(
-            state.store, center, n_window, map_corner_cap, map_surf_cap,
-            cfg.map_corner_leaf, cfg.map_surf_leaf)
-        t, q, iters, n_sel = scan_to_map(
-            t_w, q_w, c_ds, c_ok, s_ds, s_ok, cm, cmv, sm, smv, cfg)
-        return t, q, iters, n_sel
+        return scan_to_map_grids(
+            t_w, q_w, c_ds, c_ok, st_ds, st_ok,
+            lmap.corner_grid, lmap.surf_grid, lmap.n_corner, lmap.n_surf,
+            cfg)
 
     def first(_):
         return t_w, q_w, jnp.int32(0), jnp.int32(0)
 
     t_m, q_m, iters, n_sel = jax.lax.cond(has_map, refine, first, None)
 
-    # roll/pitch blend with the odometry attitude (transformUpdate)
+    # transformUpdate (:538-577): blend roll/pitch with the latest IMU
+    # attitude (derived from the accelerometer; the reference interpolates
+    # its AHRS orientation queue), weight 0.998/0.002; yaw untouched
     rpy_m = so3.quat_to_rpy(q_m)
-    rpy_o = so3.quat_to_rpy(odo_quat)
+    have_imu = jnp.all(jnp.isfinite(imu_rp))
+    rp = jnp.where(have_imu, imu_rp.astype(dtype), rpy_m[:2])
     blended = jnp.stack([
-        0.998 * rpy_m[0] + 0.002 * rpy_o[0],
-        0.998 * rpy_m[1] + 0.002 * rpy_o[1],
+        0.998 * rpy_m[0] + 0.002 * rp[0],
+        0.998 * rpy_m[1] + 0.002 * rp[1],
         rpy_m[2]])
     q_m = so3.rpy_to_quat(blended)
 
     # keyframe gate: 0.3 m from the previous keyframe (or always for the 1st)
-    last_i = jnp.maximum(state.store.count - 1, 0)
-    last_pos = state.store.pos[last_i]
-    dist = jnp.linalg.norm(t_m - last_pos)
+    K = state.store.capacity
+    last_slot = (jnp.maximum(state.store.count - 1, 0) % K).astype(jnp.int32)
+    dist = jnp.linalg.norm(t_m - state.store.pos[last_slot])
     add = (~has_map) | (dist > cfg.keyframe_gate_meters)
 
-    new_store = kf.add_keyframe(state.store, t_m, q_m, time,
-                                c_ds, c_ok, s_ds, s_ok)
-    store = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(add, a, b), new_store, state.store)
+    def do_add(args):
+        store, lmap, edges = args
+        new_id = store.count
+        store2 = kf.add_keyframe(store, t_m, q_m, time, c_ds, c_ok,
+                                 s_ds, s_ok, o_ds, o_ok)
+        if not radius_mode:
+            # recent-window ring insert + grid rebuild; in radius mode the
+            # next step's selection picks the new keyframe up instead
+            lmap = lmn.push_keyframe(lmap, new_id, t_m, q_m, c_ds, c_ok,
+                                     s_ds, s_ok, o_ds, o_ok, gp)
+        # odometry between-factor prev_kf -> new_kf with ABSOLUTE ids
+        # (saveKeyFramesAndFactor, lidar_mapping_node.cpp:1693-1703)
+        prev_id = jnp.maximum(new_id - 1, 0)
+        t_rel, q_rel = pg.relative_pose(store.pos[last_slot],
+                                        store.quat[last_slot], t_m, q_m)
+        edges2 = pg.add_edge(edges, prev_id, new_id, t_rel, q_rel,
+                             1.0 / cfg.pg_odom_rot_var,
+                             1.0 / cfg.pg_odom_pos_var)
+        edges = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(has_map, a, b), edges2, edges)
+        return store2, lmap, edges
 
-    # odometry between-factor prev_kf -> new_kf
-    # (saveKeyFramesAndFactor, lidar_mapping_node.cpp:1693-1703;
-    #  variances 1e-6 rot / ~1e-6 trans, :383-385)
-    prev_i = jnp.maximum(state.store.count - 1, 0)
-    t_rel, q_rel = pg.relative_pose(state.store.pos[prev_i],
-                                    state.store.quat[prev_i], t_m, q_m)
-    new_edges = pg.add_edge(state.edges, prev_i, state.store.count,
-                            t_rel, q_rel, 1.0 / cfg.pg_odom_rot_var,
-                            1.0 / cfg.pg_odom_pos_var)
-    edges = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(add & has_map, a, b), new_edges, state.edges)
+    store, lmap, edges = jax.lax.cond(
+        add, do_add, lambda a: a, (state.store, lmap, state.edges))
 
-    new_state = MapperState(store=store, bef_pos=odo_pos, bef_quat=odo_quat,
+    new_state = MapperState(store=store, lmap=lmap,
+                            bef_pos=odo_pos, bef_quat=odo_quat,
                             aft_pos=t_m, aft_quat=q_m, edges=edges,
                             n_loops=state.n_loops)
     metrics = dict(iters=iters, n_matches=n_sel, keyframe_added=add,
@@ -152,14 +192,18 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
 
 
 def _loop_step_impl(state: MapperState, time, cfg: SlamConfig,
-                    submap_cap: int, cloud_cap: int, opt_iters: int):
-    """One loop-closure attempt + (on accept) pose-graph re-solve and
-    keyframe pose rewrite (performLoopClosure + correctPoses,
-    lidar_mapping_node.cpp:1114-1186, 1767-1795)."""
-    cur = jnp.maximum(state.store.count - 1, 0)
-    enough = state.store.count > 2
+                    submap_cap: int, cloud_cap: int, opt_iters: int,
+                    n_window: int, gp: lmn.GridParams):
+    """One loop-closure attempt + (on accept) pose-graph re-solve, keyframe
+    pose rewrite, and local-map window re-transform (performLoopClosure +
+    correctPoses, lidar_mapping_node.cpp:1114-1186, 1767-1795)."""
+    store = state.store
+    K = store.capacity
+    cur = jnp.maximum(store.count - 1, 0)          # absolute id
+    cur_slot = (cur % K).astype(jnp.int32)
+    enough = store.count > 2
     idx, found, accepted, t_rel, q_rel, fitness = lc.try_close_loop(
-        state.store, cur, time, cfg, submap_cap, cloud_cap)
+        store, cur, time, cfg, submap_cap, cloud_cap)
     accepted = accepted & enough
 
     def apply(_):
@@ -167,11 +211,25 @@ def _loop_step_impl(state: MapperState, time, cfg: SlamConfig,
                           jnp.asarray(1e-6, fitness.dtype))
         w = 1.0 / var
         edges = pg.add_edge(state.edges, idx, cur, t_rel, q_rel, w, w)
-        pos, quat = pg.optimize(state.store.pos, state.store.quat,
-                                state.store.count, edges, opt_iters)
-        store = kf.set_poses(state.store, pos, quat)
-        return state._replace(store=store, edges=edges,
-                              aft_pos=pos[cur], aft_quat=quat[cur],
+        live = kf.live_mask(store)
+        ev = pg.live_view(edges, store.count, K)
+        # gauge prior on the oldest live keyframe (node 0 may be evicted)
+        oldest = jnp.maximum(store.count - K, 0)
+        prior_slot = (oldest % K).astype(jnp.int32)
+        if K > 1024:
+            # dense (6K)^2 Cholesky walls out — matrix-free sparse PCG
+            pos, quat = pg.optimize_cg(store.pos, store.quat, live, ev,
+                                       opt_iters, prior_slot=prior_slot)
+        else:
+            pos, quat = pg.optimize(store.pos, store.quat, live, ev,
+                                    opt_iters, prior_slot=prior_slot)
+        store2 = kf.set_poses(store, pos, quat)
+        # re-transform the window from the corrected poses (the reference
+        # leaves its deque clouds stale here — documented improvement)
+        ids, ok, wslots = lmn.recent_window_ids(store2, n_window)
+        lmap = lmn.rebuild_window(state.lmap, store2, ids, ok, wslots, gp)
+        return state._replace(store=store2, lmap=lmap, edges=edges,
+                              aft_pos=pos[cur_slot], aft_quat=quat[cur_slot],
                               n_loops=state.n_loops + 1)
 
     new_state = jax.lax.cond(accepted, apply, lambda _: state, None)
@@ -180,10 +238,11 @@ def _loop_step_impl(state: MapperState, time, cfg: SlamConfig,
 
 
 def _mapping_chunk_impl(state: MapperState, rns, qbns, ts,
-                        cxyz, cval, sxyz, sval, map_flags, loop_flags,
+                        cxyz, cval, sxyz, sval, oxyz, oval, imu_rp,
+                        map_flags, loop_flags,
                         cfg: SlamConfig, corner_cap: int, surf_cap: int,
-                        n_window: int, map_corner_cap: int,
-                        map_surf_cap: int, submap_cap: int, cloud_cap: int,
+                        outlier_cap: int, n_window: int,
+                        gp: lmn.GridParams, submap_cap: int, cloud_cap: int,
                         opt_iters: int):
     """The whole mapping cadence for a K-scan chunk in ONE compiled region.
 
@@ -197,17 +256,18 @@ def _mapping_chunk_impl(state: MapperState, rns, qbns, ts,
     than per-scan streaming.
     """
     step = partial(_mapping_step_impl, cfg=cfg, corner_cap=corner_cap,
-                   surf_cap=surf_cap, n_window=n_window,
-                   map_corner_cap=map_corner_cap,
-                   map_surf_cap=map_surf_cap)
+                   surf_cap=surf_cap, outlier_cap=outlier_cap,
+                   n_window=n_window, gp=gp)
     loop = partial(_loop_step_impl, cfg=cfg, submap_cap=submap_cap,
-                   cloud_cap=cloud_cap, opt_iters=opt_iters)
+                   cloud_cap=cloud_cap, opt_iters=opt_iters,
+                   n_window=n_window, gp=gp)
 
     def body(st, inp):
-        rn, qbn, t, cx, cv, sx, sv, mf, lf = inp
+        rn, qbn, t, cx, cv, sx, sv, ox, ov, rp, mf, lf = inp
 
         def do_map(st):
-            new_st, _, _, metrics = step(st, rn, qbn, t, cx, cv, sx, sv)
+            new_st, _, _, metrics = step(st, rn, qbn, t, cx, cv, sx, sv,
+                                         ox, ov, rp)
             return new_st, metrics
 
         def skip_map(st):
@@ -231,41 +291,81 @@ def _mapping_chunk_impl(state: MapperState, rns, qbns, ts,
         return st, (pos, quat, st.aft_pos, st.aft_quat, metrics, info)
 
     state, outs = jax.lax.scan(
-        body, state, (rns, qbns, ts, cxyz, cval, sxyz, sval,
-                      map_flags, loop_flags))
+        body, state, (rns, qbns, ts, cxyz, cval, sxyz, sval, oxyz, oval,
+                      imu_rp, map_flags, loop_flags))
     return state, outs
+
+
+def imu_roll_pitch(acc, gravity: float):
+    """Host-side roll/pitch from a raw accelerometer sample (the stand-in
+    for the reference mapping node's AHRS-orientation IMU queue,
+    lidar_mapping_node.cpp:726-735; same math as calculateRPfromGravity)."""
+    acc = np.asarray(acc, float)
+    sz = np.sign(acc[2]) or 1.0
+    pitch = -sz * np.arcsin(np.clip(acc[0] / gravity, -1.0, 1.0))
+    roll = sz * np.arcsin(np.clip(acc[1] / gravity, -1.0, 1.0))
+    return np.asarray([roll, pitch])
+
+
+_NO_IMU_RP = np.full(2, np.nan)
 
 
 class LinsMapper:
     """Host driver for the mapping backend."""
 
     def __init__(self, cfg: SlamConfig, corner_cap=None, surf_cap=None,
-                 n_window=None, map_corner_cap=None, map_surf_cap=None,
-                 dtype=jnp.float32):
+                 outlier_cap=None, n_window=None, map_corner_cap=None,
+                 map_surf_cap=None, dtype=jnp.float32):
         self.cfg = cfg
         self.dtype = dtype
-        corner_cap, surf_cap, map_corner_cap, map_surf_cap = derive_caps(
-            cfg, corner_cap, surf_cap, map_corner_cap, map_surf_cap)
-        self.state = init_mapper(cfg, corner_cap, surf_cap, dtype)
+        corner_cap, surf_cap, outlier_cap = derive_caps(
+            cfg, corner_cap, surf_cap, outlier_cap)
+        self.caps = (corner_cap, surf_cap, outlier_cap)
+        n_window = n_window or cfg.surrounding_keyframe_search_num
+        self.n_window = n_window
+        # map_*_cap kwargs (legacy local-map assembly capacities) now size
+        # the cached grid hash tables
+        gp = lmn.grid_params(cfg)
+        if map_corner_cap:
+            gp = gp._replace(corner_table=max(1024, map_corner_cap // 4))
+        if map_surf_cap:
+            gp = gp._replace(surf_table=max(2048, map_surf_cap // 4))
+        self.gp = gp
+        self.state = init_mapper(cfg, corner_cap, surf_cap, outlier_cap,
+                                 n_window, gp, dtype)
         self.last_time = -np.inf
         self.metrics = []
         self.trajectory = []
         self._step = jax.jit(partial(
             _mapping_step_impl, cfg=cfg, corner_cap=corner_cap,
-            surf_cap=surf_cap,
-            n_window=n_window or cfg.surrounding_keyframe_search_num,
-            map_corner_cap=map_corner_cap, map_surf_cap=map_surf_cap))
+            surf_cap=surf_cap, outlier_cap=outlier_cap,
+            n_window=n_window, gp=gp))
         self._loop_step = jax.jit(partial(
             _loop_step_impl, cfg=cfg, submap_cap=16384, cloud_cap=8192,
-            opt_iters=8))
+            opt_iters=8, n_window=n_window, gp=gp))
         self._chunk_step = jax.jit(partial(
             _mapping_chunk_impl, cfg=cfg, corner_cap=corner_cap,
-            surf_cap=surf_cap,
-            n_window=n_window or cfg.surrounding_keyframe_search_num,
-            map_corner_cap=map_corner_cap, map_surf_cap=map_surf_cap,
-            submap_cap=16384, cloud_cap=8192, opt_iters=8))
+            surf_cap=surf_cap, outlier_cap=outlier_cap, n_window=n_window,
+            gp=gp, submap_cap=16384, cloud_cap=8192, opt_iters=8))
         self.last_loop_time = -np.inf
         self.loop_info = []
+
+    def _scan_sds(self, cloud_dtype, chunk=None):
+        cd = cloud_dtype or self.dtype
+        cfg = self.cfg
+
+        def mk(shape, dt):
+            s = ((chunk,) + shape) if chunk else shape
+            return jax.ShapeDtypeStruct(s, dt)
+
+        return (mk((3,), cd), mk((4,), cd), mk((), self.dtype),
+                mk((cfg.max_less_sharp, 3), cd),
+                mk((cfg.max_less_sharp,), jnp.bool_),
+                mk((cfg.max_less_flat, 3), cd),
+                mk((cfg.max_less_flat,), jnp.bool_),
+                mk((cfg.max_outlier, 3), cd),
+                mk((cfg.max_outlier,), jnp.bool_),
+                mk((2,), cd))
 
     def warmup(self, cloud_dtype=None, chunk: int | None = None):
         """AOT-compile the mapping + loop-closure programs up front (see
@@ -275,36 +375,31 @@ class LinsMapper:
         cloud_dtype: dtype of the incoming odometry poses/clouds (the
         odometry driver's dtype; defaults to this mapper's dtype).
         chunk: also compile the K-scan chunked program (replay mode)."""
-        cd = cloud_dtype or self.dtype
         sds = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state)
-        p3 = jax.ShapeDtypeStruct((3,), cd)
-        q4 = jax.ShapeDtypeStruct((4,), cd)
+        args = self._scan_sds(cloud_dtype)
+        self._step.lower(sds, *args).compile()
         t = jax.ShapeDtypeStruct((), self.dtype)
-        cx = jax.ShapeDtypeStruct((self.cfg.max_less_sharp, 3), cd)
-        cv = jax.ShapeDtypeStruct((self.cfg.max_less_sharp,), jnp.bool_)
-        sx = jax.ShapeDtypeStruct((self.cfg.max_less_flat, 3), cd)
-        sv = jax.ShapeDtypeStruct((self.cfg.max_less_flat,), jnp.bool_)
-        self._step.lower(sds, p3, q4, t, cx, cv, sx, sv).compile()
         if self.cfg.loop_closure_enabled:
             self._loop_step.lower(sds, t).compile()
         if chunk:
-            def k(s):
-                return jax.ShapeDtypeStruct((chunk,) + s.shape, s.dtype)
+            p3, q4, _, cx, cv, sx, sv, ox, ov, rp = self._scan_sds(
+                cloud_dtype, chunk)
             ts_k = jax.ShapeDtypeStruct((chunk,), jnp.float32)
             flag = jax.ShapeDtypeStruct((chunk,), jnp.bool_)
-            self._chunk_step.lower(sds, k(p3), k(q4), ts_k, k(cx), k(cv),
-                                   k(sx), k(sv), flag, flag).compile()
+            self._chunk_step.lower(sds, p3, q4, ts_k, cx, cv, sx, sv,
+                                   ox, ov, rp, flag, flag).compile()
 
     def process(self, time: float, odo_pos, odo_quat,
                 corner_xyz, corner_valid, surf_xyz, surf_valid,
-                time_dev=None):
+                outl_xyz=None, outl_valid=None, imu_rp=None, time_dev=None):
         """Feed one odometry result + its scan clouds (body frame).
 
         time: host float (cadence gating).  time_dev: optional device scalar
         of the same time — pass it in replay mode so this issues no
         host->device transfer (transfers serialize against queued compute on
-        remote-attached TPUs).
+        remote-attached TPUs).  imu_rp: optional (roll, pitch) from the raw
+        IMU at scan time (imu_roll_pitch); NaN disables the blend.
         Returns (pos, quat) of the refined pose, or None when throttled.
         """
         if time - self.last_time < self.cfg.mapping_process_interval:
@@ -312,10 +407,15 @@ class LinsMapper:
         self.last_time = time
         t_dev = (jnp.asarray(time, self.dtype) if time_dev is None
                  else time_dev.astype(self.dtype))
+        if outl_xyz is None:
+            outl_xyz = jnp.zeros((self.cfg.max_outlier, 3), self.dtype)
+            outl_valid = jnp.zeros((self.cfg.max_outlier,), bool)
+        rp = jnp.asarray(_NO_IMU_RP if imu_rp is None else imu_rp,
+                         self.dtype)
         (self.state, t_m, q_m, metrics) = self._step(
             self.state, jnp.asarray(odo_pos), jnp.asarray(odo_quat),
             t_dev, corner_xyz, corner_valid,
-            surf_xyz, surf_valid)
+            surf_xyz, surf_valid, outl_xyz, outl_valid, rp)
         self.metrics.append(metrics)
         self.trajectory.append((time, t_m, q_m))
         return t_m, q_m
@@ -340,7 +440,7 @@ class LinsMapper:
         return mf, lf
 
     def process_chunk(self, ts_host, rns, qbns, clouds, ts_dev,
-                      map_flags, loop_flags, flags_dev):
+                      map_flags, loop_flags, flags_dev, imu_rp_dev=None):
         """Mapping + loop closure at their cadences over a K-scan chunk of
         odometry outputs, in ONE device dispatch (_mapping_chunk_impl);
         returns the fused high-rate (pos (K,3), quat (K,4)) blocks.
@@ -349,12 +449,19 @@ class LinsMapper:
         already advanced the gate bookkeeping); ts_dev/flags_dev: the same
         values staged on device up front (mid-stream host->device transfers
         serialize against queued compute on remote-attached TPUs).
+        imu_rp_dev: optional (K, 2) staged raw-IMU roll/pitch per scan.
         """
         mf_dev, lf_dev = flags_dev
+        K = len(ts_host)
+        if imu_rp_dev is None:
+            imu_rp_dev = jnp.broadcast_to(
+                jnp.asarray(_NO_IMU_RP, self.dtype), (K, 2))
         self.state, (pos, quat, aft_p, aft_q, metrics, infos) = \
             self._chunk_step(self.state, rns, qbns, ts_dev,
                              clouds["cxyz"], clouds["cval"],
-                             clouds["sxyz"], clouds["sval"], mf_dev, lf_dev)
+                             clouds["sxyz"], clouds["sval"],
+                             clouds["oxyz"], clouds["oval"],
+                             imu_rp_dev, mf_dev, lf_dev)
         metric_rows = {k: LazyRows(v) for k, v in metrics.items()}
         info_rows = {k: LazyRows(v) for k, v in infos.items()}
         aft_rows_p, aft_rows_q = LazyRows(aft_p), LazyRows(aft_q)

@@ -11,29 +11,55 @@ Per GN iteration, in one compiled region:
 Pose is (t, q) with axis-angle right-perturbation instead of the reference's
 hand-expanded YZX Euler jacobians (lidar_mapping_node.cpp:1543-1576) — same
 first-order geometry, no convention gymnastics.
+
+TPU-native NN structure (replaces the reference's per-iteration KD-tree
+queries, :1355-1357, 1465): the voxel-hash-grid candidate gather — the only
+irregular-memory op, DMA-descriptor-bound on TPU — runs ONCE per mapping
+step (ops/grid_nn.gather_candidates); every GN iteration then re-ranks the
+compact cached (Q, C, 3) candidate block at the current pose with dense
+vector math (knn_from_candidates).  Two per-query bounds (neighborhood
+coverage + C-th-candidate distance) trigger a re-gather inside the loop
+when — and only when — the pose has moved far enough that the cache could
+miss a point inside the 1 m acceptance ball, so accepted correspondences
+are IDENTICAL to per-iteration brute force.
 """
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from lins_tpu.config import SlamConfig
 from lins_tpu.geom import so3
-from lins_tpu.ops.grid_nn import build_grid, grid_knn
+from lins_tpu.ops.grid_nn import (build_grid, gather_candidates,
+                                  knn_from_candidates)
 from lins_tpu.ops.lin3 import eigh_sym3x3, solve_sym3x3
 
+# cached candidates per query: tight upper bound on realistic map densities
+# within the ~1.2-2 m gathered neighborhoods (a 0.4 m-leaf plane patch holds
+# ~36, a 0.2 m-leaf edge bundle far fewer); the d2C re-gather bound makes
+# pruning exact regardless
+_CAND = 64
 
-def corner_residuals(q_pts, q_valid, t, q, grid):
+
+class _Gather(NamedTuple):
+    pc: jnp.ndarray       # corner query world positions at gather time
+    ps: jnp.ndarray       # surf query world positions at gather time
+    cc: jnp.ndarray       # (Qc, C, 3) corner candidates
+    cc_ok: jnp.ndarray
+    cc_d2C: jnp.ndarray   # (Qc,) distance^2 of the pruned C-th candidate
+    cc_cov: jnp.ndarray   # (Qc,) coverage radius of the gathered block
+    sc: jnp.ndarray
+    sc_ok: jnp.ndarray
+    sc_d2C: jnp.ndarray
+    sc_cov: jnp.ndarray
+
+
+def corner_residuals(p_w, nn, d2, q_valid):
     """Point-to-line residuals vs 5-NN PCA lines
-    (cornerOptimization, lidar_mapping_node.cpp:1351-1458).
-
-    5-NN via the 1 m voxel-hash grid (ops/grid_nn.py) — identical accepted
-    matches to brute force because the `d2[4] < 1.0` gate below bounds the
-    useful search radius to one cell."""
-    p_w = so3.quat_rotate(q[None, :], q_pts) + t[None, :]
-    nn, d2 = grid_knn(p_w, q_valid, grid, k=5)   # (Q,5,3), (Q,5)
+    (cornerOptimization, lidar_mapping_node.cpp:1351-1458)."""
     near = d2[:, 4] < 1.0
     c = jnp.mean(nn, axis=1)                  # centroid
     dcm = nn - c[:, None, :]
@@ -56,20 +82,17 @@ def corner_residuals(q_pts, q_valid, t, q, grid):
 
     s = 1.0 - 0.9 * jnp.abs(res)
     ok = q_valid & near & linear & (s > 0.1) & (res > 1e-9)
-    return p_w, grad * s[:, None], s * res, ok
+    return grad * s[:, None], s * res, ok
 
 
-def surf_residuals(q_pts, q_valid, t, q, grid):
+def surf_residuals(p_w, nn, d2, q_valid):
     """Point-to-plane residuals vs 5-NN plane fits
-    (surfOptimization, lidar_mapping_node.cpp:1460-1521).  5-NN via the
-    voxel-hash grid, same argument as corner_residuals."""
-    p_w = so3.quat_rotate(q[None, :], q_pts) + t[None, :]
-    nn, d2 = grid_knn(p_w, q_valid, grid, k=5)   # (Q,5,3), (Q,5)
+    (surfOptimization, lidar_mapping_node.cpp:1460-1521)."""
     near = d2[:, 4] < 1.0
     # solve A n = -1 (plane n·x + 1 = 0) via normal equations
     AtA = jnp.einsum("nki,nkj->nij", nn, nn)
     Atb = -jnp.sum(nn, axis=1)
-    n = solve_sym3x3(AtA + 1e-9 * jnp.eye(3, dtype=q_pts.dtype), Atb)
+    n = solve_sym3x3(AtA + 1e-9 * jnp.eye(3, dtype=p_w.dtype), Atb)
     norm = jnp.linalg.norm(n, axis=-1)
     norm_safe = jnp.maximum(norm, 1e-12)
     pa = n / norm_safe[:, None]
@@ -82,7 +105,7 @@ def surf_residuals(q_pts, q_valid, t, q, grid):
     s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(
         jnp.sqrt(jnp.maximum(jnp.linalg.norm(p_w, axis=-1), 1e-12)))
     ok = q_valid & near & plane_ok & (s > 0.1)
-    return p_w, pa * s[:, None], s * pd2, ok
+    return pa * s[:, None], s * pd2, ok
 
 
 def _gn_normal_eqs(q_pts, coeff, res, ok, q):
@@ -99,27 +122,71 @@ def _gn_normal_eqs(q_pts, coeff, res, ok, q):
     return J.T @ J, J.T @ (-res), jnp.sum(ok)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def scan_to_map(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
-                corner_map, corner_map_valid, surf_map, surf_map_valid,
-                cfg: SlamConfig):
+def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
+                      corner_grid, surf_grid, n_corner_map, n_surf_map,
+                      cfg: SlamConfig):
     """Full GN refinement loop (scan2MapOptimization,
-    lidar_mapping_node.cpp:1635-1652).  Returns (t, q, iters, n_matches)."""
+    lidar_mapping_node.cpp:1635-1652) against PREBUILT map hash grids —
+    the production path: the mapper caches the grids across mapping steps
+    (mapping/local_map.py) and this loop caches the candidate gather across
+    GN iterations (module docstring).  Returns (t, q, iters, n_matches)."""
     dtype = t0.dtype
-    enough_map = ((jnp.sum(corner_map_valid) > 10)
-                  & (jnp.sum(surf_map_valid) > 100))
+    enough_map = (n_corner_map > 10) & (n_surf_map > 100)
 
-    # hash the (fixed) local maps once; only the queries move per iteration
-    corner_grid = build_grid(corner_map, corner_map_valid, cell=1.0,
-                             table=8192)
-    surf_grid = build_grid(surf_map, surf_map_valid, cell=1.0, table=16384)
+    def world(t, q):
+        return (so3.quat_rotate(q[None, :], corner_pts) + t[None, :],
+                so3.quat_rotate(q[None, :], surf_pts) + t[None, :])
+
+    def gather_all(t, q):
+        pc, ps = world(t, q)
+        cc, cc_ok, cc_d2C, cc_cov = gather_candidates(
+            pc, corner_valid, corner_grid, _CAND)
+        sc, sc_ok, sc_d2C, sc_cov = gather_candidates(
+            ps, surf_valid, surf_grid, _CAND)
+        return _Gather(pc, ps, cc, cc_ok, cc_d2C, cc_cov,
+                       sc, sc_ok, sc_d2C, sc_cov)
+
+    def stale(p_now, p_gat, valid, d2_5, d2C, cov):
+        """True iff some query's cached top-5 may differ from brute force.
+
+        Any map point NOT in a query's cache was, at gather time, at
+        distance >= safe = min(cover, sqrt(d2C)) from the gather-time query
+        (outside the gathered block => >= cover; gathered but pruned =>
+        >= sqrt(d2C)); after the query moved by d it is >= safe - d.  The
+        cached top-5 re-ranked at the current pose is therefore the TRUE
+        top-5 whenever its 5th distance r5 <= safe - d, and when r5 > 1 the
+        acceptance gate (d2[4] < 1) rejects both the cached and the true
+        match as long as 1 <= safe - d.  So the cache is exact-for-accepted
+        iff min(r5, 1) + d <= safe — which always holds at d = 0 (r5 is a
+        subset-5th of the same gather, so r5 <= sqrt(d2C); cover >= 1 by
+        grid construction)."""
+        d = jnp.linalg.norm(p_now - p_gat, axis=1)
+        safe = jnp.minimum(cov, jnp.sqrt(d2C))
+        r5 = jnp.minimum(jnp.sqrt(d2_5), 1.0)
+        return jnp.any(valid & (r5 + d > safe))
 
     def body(carry):
-        t, q, it, conv, proj, nm = carry
-        pc, cc, rc, okc = corner_residuals(corner_pts, corner_valid, t, q,
-                                           corner_grid)
-        ps, cs, rs, oks = surf_residuals(surf_pts, surf_valid, t, q,
-                                         surf_grid)
+        t, q, it, conv, proj, nm, G = carry
+        pc, ps = world(t, q)
+        nn_c, d2_c = knn_from_candidates(pc, corner_valid, G.cc, G.cc_ok)
+        nn_s, d2_s = knn_from_candidates(ps, surf_valid, G.sc, G.sc_ok)
+        need = (stale(pc, G.pc, corner_valid, d2_c[:, 4], G.cc_d2C,
+                      G.cc_cov)
+                | stale(ps, G.ps, surf_valid, d2_s[:, 4], G.sc_d2C,
+                        G.sc_cov))
+
+        def refresh(_):
+            G2 = gather_all(t, q)
+            nn_c2, d2_c2 = knn_from_candidates(pc, corner_valid, G2.cc,
+                                               G2.cc_ok)
+            nn_s2, d2_s2 = knn_from_candidates(ps, surf_valid, G2.sc,
+                                               G2.sc_ok)
+            return G2, nn_c2, d2_c2, nn_s2, d2_s2
+
+        G, nn_c, d2_c, nn_s, d2_s = jax.lax.cond(
+            need, refresh, lambda _: (G, nn_c, d2_c, nn_s, d2_s), None)
+        cc, rc, okc = corner_residuals(pc, nn_c, d2_c, corner_valid)
+        cs, rs, oks = surf_residuals(ps, nn_s, d2_s, surf_valid)
         # normal equations over both residual sets (body-frame points)
         H1, b1, n1 = _gn_normal_eqs(corner_pts, cc, rc, okc, q)
         H2, b2, n2 = _gn_normal_eqs(surf_pts, cs, rs, oks, q)
@@ -146,13 +213,29 @@ def scan_to_map(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
         delta_r = jnp.linalg.norm(so3.rad2deg(x[0:3]))
         delta_t = jnp.linalg.norm(100.0 * x[3:6])
         conv = do & (delta_r < 0.05) & (delta_t < 0.05)
-        return t, q, it + 1, conv, proj, n_sel.astype(jnp.int32)
+        return t, q, it + 1, conv, proj, n_sel.astype(jnp.int32), G
 
     def cond(carry):
-        _, _, it, conv, _, _ = carry
+        _, _, it, conv, _, _, _ = carry
         return (it < cfg.scan2map_iters) & ~conv
 
     init = (t0, q0, jnp.int32(0), jnp.asarray(False),
-            jnp.eye(6, dtype=dtype), jnp.int32(0))
-    t, q, iters, _, _, n_sel = jax.lax.while_loop(cond, body, init)
+            jnp.eye(6, dtype=dtype), jnp.int32(0), gather_all(t0, q0))
+    t, q, iters, _, _, n_sel, _ = jax.lax.while_loop(cond, body, init)
     return t, q, iters, n_sel
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def scan_to_map(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
+                corner_map, corner_map_valid, surf_map, surf_map_valid,
+                cfg: SlamConfig):
+    """scan_to_map_grids with the grids built in-line from point maps —
+    the one-shot/oracle path (tests, ad-hoc alignment)."""
+    corner_grid = build_grid(corner_map, corner_map_valid, cell=1.2,
+                             table=8192, cap=224)
+    surf_grid = build_grid(surf_map, surf_map_valid, cell=1.2, table=16384,
+                           cap=224)
+    return scan_to_map_grids(
+        t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
+        corner_grid, surf_grid, jnp.sum(corner_map_valid),
+        jnp.sum(surf_map_valid), cfg)

@@ -137,8 +137,13 @@ def running_step_impl(filter_state: eskf.FilterState,
     metrics = dict(iters=res.iters, n_surf=res.n_surf, n_corner=res.n_corner,
                    residual=res.residual_norm, diverged=res.diverged,
                    enough=enough)
+    # outlier cloud passed through RAW for the mapping backend — the
+    # reference deliberately skips transformToEnd for it
+    # (updatePointCloud, StateEstimator.hpp:1141-1143 commented out)
+    outl = dict(xyz=feats.outlier.xyz.astype(dtype),
+                valid=feats.outlier.valid)
     return (fs_reset, g, sel(new_surf, last_surf), sel(new_corner, last_corner),
-            rel_rn, rel_qbn, metrics)
+            rel_rn, rel_qbn, metrics, outl)
 
 
 running_step = jax.jit(running_step_impl, static_argnames=("cfg",))
@@ -181,12 +186,14 @@ def chunk_scan_step_impl(filter_state, global_state, last_surf, last_corner,
     def body(carry, inp):
         fs, gs, lsurf, lcorn = carry
         xyz, n, dts, accs, gyrs, valid = inp
-        fs, gs, lsurf, lcorn, rel_rn, rel_qbn, metrics = full_scan_step_impl(
+        (fs, gs, lsurf, lcorn, rel_rn, rel_qbn, metrics,
+         outl) = full_scan_step_impl(
             fs, gs, lsurf, lcorn, xyz, n, dts, accs, gyrs, valid, cfg)
-        # per-scan re-anchored clouds so the mapping backend can consume
-        # interior scans of the chunk without host round trips
+        # per-scan re-anchored clouds (+ raw outliers) so the mapping
+        # backend can consume interior scans without host round trips
         clouds = dict(cxyz=lcorn["xyz"], cval=lcorn["valid"],
-                      sxyz=lsurf["xyz"], sval=lsurf["valid"])
+                      sxyz=lsurf["xyz"], sval=lsurf["valid"],
+                      oxyz=outl["xyz"], oval=outl["valid"])
         return (fs, gs, lsurf, lcorn), (gs.rn, gs.qbn, rel_rn, rel_qbn,
                                         metrics, clouds)
 
@@ -213,10 +220,12 @@ def chunk_rest_impl(labels_k, pre_k, filter_state, global_state, last_surf,
         fs, gs, lsurf, lcorn = carry
         labels, pre, dts, accs, gyrs, valid = inp
         _, feats = frontend_post(labels, pre, cfg)
-        fs, gs, lsurf, lcorn, rel_rn, rel_qbn, metrics = running_step_impl(
+        (fs, gs, lsurf, lcorn, rel_rn, rel_qbn, metrics,
+         outl) = running_step_impl(
             fs, gs, feats, lsurf, lcorn, dts, accs, gyrs, valid, cfg)
         clouds = dict(cxyz=lcorn["xyz"], cval=lcorn["valid"],
-                      sxyz=lsurf["xyz"], sval=lsurf["valid"])
+                      sxyz=lsurf["xyz"], sval=lsurf["valid"],
+                      oxyz=outl["xyz"], oval=outl["valid"])
         return (fs, gs, lsurf, lcorn), (gs.rn, gs.qbn, rel_rn, rel_qbn,
                                         metrics, clouds)
 
@@ -369,6 +378,7 @@ class LinsOdometry:
         self.global_state = identity_nominal(cfg, dtype)
         self.last_surf = None
         self.last_corner = None
+        self.last_outlier = None
         self.preint = None
         self.rel_pose = None
         # imu buffer (host lists)
@@ -469,13 +479,15 @@ class LinsOdometry:
                     pre_out["eligible"],
                     interpret=jax.default_backend() == "cpu")
                 (self.filter_state, self.global_state, self.last_surf,
-                 self.last_corner, rel_rn, rel_qbn, metrics) = scan_rest(
+                 self.last_corner, rel_rn, rel_qbn, metrics,
+                 self.last_outlier) = scan_rest(
                     labels, pre_out, self.filter_state, self.global_state,
                     self.last_surf, self.last_corner, dts, accs, gyrs,
                     valid, self.cfg)
             else:
                 (self.filter_state, self.global_state, self.last_surf,
-                 self.last_corner, rel_rn, rel_qbn, metrics) = full_scan_step(
+                 self.last_corner, rel_rn, rel_qbn, metrics,
+                 self.last_outlier) = full_scan_step(
                     self.filter_state, self.global_state, self.last_surf,
                     self.last_corner, jnp.asarray(xyz, jnp.float32),
                     jnp.int32(n_points), dts, accs, gyrs, valid, self.cfg)
@@ -527,6 +539,8 @@ class LinsOdometry:
                 np.asarray(t, self.dtype), self.cfg)
             self.time = t
             self.rel_pose = (rel_rn, rel_qbn)
+            self.last_outlier = dict(xyz=feats.outlier.xyz.astype(self.dtype),
+                                     valid=feats.outlier.valid)
             self.status = STATUS_RUNNING
             self._record(t)
             return self._pose()

@@ -88,6 +88,62 @@ def _measurement_blocks(m: assoc.Matches, lin_rn, lin_qbn, cfg, dtype):
     return JtJ, Jtr, res_norm
 
 
+def _blocks_xla(new_flat, new_sharp, last_surf, last_corner, lin, it,
+                cfg, dtype):
+    """Association + normal-equation blocks on the XLA path (default)."""
+    surf = assoc.find_surf_matches(
+        new_flat.xyz.astype(dtype), new_flat.rel_time.astype(dtype),
+        new_flat.valid, last_surf["xyz"].astype(dtype), last_surf["ring"],
+        last_surf["valid"], lin.rn, lin.qbn, it, cfg)
+    corn = assoc.find_corner_matches(
+        new_sharp.xyz.astype(dtype), new_sharp.rel_time.astype(dtype),
+        new_sharp.valid, last_corner["xyz"].astype(dtype),
+        last_corner["ring"], last_corner["valid"], lin.rn, lin.qbn, it, cfg)
+    m = assoc.stack_matches(surf, corn)
+    JtJ, Jtr, res_norm = _measurement_blocks(m, lin.rn, lin.qbn, cfg, dtype)
+    return (JtJ, Jtr, res_norm,
+            jnp.sum(surf.valid).astype(jnp.int32),
+            jnp.sum(corn.valid).astype(jnp.int32))
+
+
+def _pad128(x, fill=0):
+    n = x.shape[0]
+    pad = (-n) % 128
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+
+def _blocks_pallas(new_flat, new_sharp, last_surf, last_corner, lin, it,
+                   cfg, dtype):
+    """Fused Mosaic association kernels (ops/pallas_assoc.py): one kernel
+    per feature type computes de-skew -> NN selection -> residual rows ->
+    J6ᵀJ6 / J6ᵀr without materializing the (Q,R) distance matrix or the
+    match rows in HBM.  f32 in-kernel (TPU), cast back to the filter dtype."""
+    from lins_tpu.ops import pallas_assoc as pa
+
+    interp = jax.default_backend() == "cpu"
+    max_d2 = cfg.nearest_feature_search_sq_dist
+    sJ, sr, s2, ns = pa.surf_normal_equations(
+        _pad128(new_flat.xyz), _pad128(new_flat.rel_time),
+        _pad128(new_flat.valid, False),
+        last_surf["xyz"], last_surf["ring"], last_surf["valid"],
+        lin.rn, lin.qbn, it, max_d2=max_d2, interpret=interp,
+        icp_freq=cfg.icp_freq)
+    cJ, cr, c2, nc = pa.corner_normal_equations(
+        _pad128(new_sharp.xyz), _pad128(new_sharp.rel_time),
+        _pad128(new_sharp.valid, False),
+        last_corner["xyz"], last_corner["ring"], last_corner["valid"],
+        lin.rn, lin.qbn, it, max_d2=max_d2, interpret=interp,
+        icp_freq=cfg.icp_freq)
+    scale = cfg.lidar_scale
+    JtJ = (sJ + cJ).astype(dtype)
+    Jtr = (scale * (sr + cr)).astype(dtype)
+    res_norm = (scale * jnp.sqrt(s2 + c2)).astype(dtype)
+    return JtJ, Jtr, res_norm, ns, nc
+
+
 def update(filter_state: eskf.FilterState,
            new_flat, new_sharp, last_surf, last_corner,
            cfg: SlamConfig) -> IESKFResult:
@@ -104,21 +160,13 @@ def update(filter_state: eskf.FilterState,
     P_inv = _spd_inverse(Pk, jit_scale)
 
     nominal0 = filter_state
+    blocks = _blocks_pallas if cfg.use_pallas_assoc else _blocks_xla
 
     def one_iter(carry):
         lin, it, res_prev, HtH_s, A_inv, conv, div, ns, nc, rn_out = carry
 
-        surf = assoc.find_surf_matches(
-            new_flat.xyz.astype(dtype), new_flat.rel_time.astype(dtype),
-            new_flat.valid, last_surf["xyz"].astype(dtype), last_surf["ring"],
-            last_surf["valid"], lin.rn, lin.qbn, it, cfg)
-        corn = assoc.find_corner_matches(
-            new_sharp.xyz.astype(dtype), new_sharp.rel_time.astype(dtype),
-            new_sharp.valid, last_corner["xyz"].astype(dtype),
-            last_corner["ring"], last_corner["valid"], lin.rn, lin.qbn, it, cfg)
-        m = assoc.stack_matches(surf, corn)
-
-        JtJ, Jtr, res_norm = _measurement_blocks(m, lin.rn, lin.qbn, cfg, dtype)
+        JtJ, Jtr, res_norm, ns_new, nc_new = blocks(
+            new_flat, new_sharp, last_surf, last_corner, lin, it, cfg, dtype)
         HtH_s_new = _embed6(JtJ, dtype) / sigma2
         Htr_s = _embed6v(Jtr, dtype) / sigma2
 
@@ -144,8 +192,7 @@ def update(filter_state: eskf.FilterState,
         res_out = jnp.where(keep, res_prev, res_norm)
         return (lin_new, it + 1, res_out, HtH_s, A_inv,
                 conv_new & ~div_new, div | div_new,
-                jnp.sum(surf.valid).astype(jnp.int32),
-                jnp.sum(corn.valid).astype(jnp.int32), res_norm)
+                ns_new, nc_new, res_norm)
 
     def cond(carry):
         _, it, _, _, _, conv, div, _, _, _ = carry

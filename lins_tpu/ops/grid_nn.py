@@ -38,13 +38,23 @@ class HashGrid:
     cell: float = dataclasses.field(metadata=dict(static=True))
     table: int = dataclasses.field(metadata=dict(static=True))
     cap: int = dataclasses.field(metadata=dict(static=True))
+    # neighborhood arity: 27 = classic +-1-cell block around floor(q/cell)
+    # (covers radius `cell`); 8 = SUPERCELL mode, the 2x2x2 block around
+    # floor(q/cell - 1/2) (covers radius >= cell/2).  Supercells (cell 2 m,
+    # cap = (cell/leaf)^3) cut the gather's DMA-descriptor count 3.4x — the
+    # dominant cost of the NN on TPU (wide rows amortize; measured
+    # descriptor-bound at ~36 ns/row on v5e).
+    nb: int = dataclasses.field(default=27, metadata=dict(static=True))
 
 
 def _bucket_of(cid: jnp.ndarray, table: int) -> jnp.ndarray:
-    """Hash integer cell coords (..., 3) to a bucket id in [0, table)."""
-    h = ((cid[..., 0] * 73856093) ^ (cid[..., 1] * 19349663)
-         ^ (cid[..., 2] * 83492791))
-    return jnp.abs(h) % table
+    """Hash integer cell coords (..., 3) to a bucket id in [0, table).
+
+    Mixed hash (ops/voxel.hash3) — the classic XOR-of-products spatial hash
+    collides structurally for symmetric coords, wasting bucket capacity."""
+    from lins_tpu.ops.voxel import hash3
+
+    return jnp.abs(hash3(cid)) % table
 
 
 def build_grid(pts: jnp.ndarray, valid: jnp.ndarray, cell: float,
@@ -85,7 +95,8 @@ def build_grid(pts: jnp.ndarray, valid: jnp.ndarray, cell: float,
 
 
 def build_grid_voxelized(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
-                         m: int, table: int = 16384, cap: int = 32):
+                         m: int, table: int = 16384, cap: int = 32,
+                         nb: int = 27):
     """Voxel-filter a masked (R, 3) point set AND bin the centroids into the
     hash grid, fused into ONE sort.
 
@@ -99,16 +110,17 @@ def build_grid_voxelized(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
 
     The grid cell edge is `leaf * m` — an exact multiple so voxels never
     straddle cell boundaries (the centroid set is identical to running PCL's
-    filter then binning).  `m` must satisfy leaf*m >= 1.0 for the 1 m NN
-    acceptance-gate coverage argument (grid_knn docstring): m=5 for the
-    0.2 m corner leaf, m=3 for the 0.4 m surf leaf.  The 6-bit cell
-    checksum separates two cells that collide into one bucket — without it
-    their equal voxel-in-cell ids would merge into corrupt centroids; with
-    it a merge needs a (bucket, lid, checksum) triple collision.
+    filter then binning).  `m` must satisfy leaf*m >= 1.0 (nb=27) or >= 2.0
+    (nb=8 supercells) for the 1 m NN acceptance-gate coverage argument.
+    Voxel identity inside the sort is (bucket*m^3 + lid, full-voxel mixed
+    hash) as a 2-key composite — two distinct voxels merge into a corrupt
+    centroid only on a simultaneous (bucket, lid) + 32-bit hash collision.
 
     Returns (HashGrid, n_voxels) — n_voxels the exact voxel-centroid count
     (the `sum(map_valid)` equivalent for sufficiency checks).
     """
+    from lins_tpu.ops.voxel import hash3
+
     R = pts.shape[0]
     m3 = m * m * m
     vox = jnp.floor(pts / leaf).astype(jnp.int32)
@@ -116,19 +128,19 @@ def build_grid_voxelized(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
     bucket = _bucket_of(cellv, table)
     lv = vox - cellv * m                                       # in [0, m)^3
     lid = (lv[:, 0] * m + lv[:, 1]) * m + lv[:, 2]
-    chk = jnp.abs((cellv[:, 0] * 1032527
-                   + cellv[:, 1] * 40503
-                   + cellv[:, 2] * 65537)) % 64
-    key = (bucket * m3 + lid) * 64 + chk
-    key = jnp.where(valid, key, table * m3 * 64).astype(jnp.int32)
+    sentinel = table * m3
+    key = jnp.where(valid, bucket * m3 + lid, sentinel).astype(jnp.int32)
+    h2 = jnp.where(valid, hash3(vox, seed=0x9D7),
+                   jnp.iinfo(jnp.int32).max).astype(jnp.int32)
 
-    key_s, xs, ys, zs = jax.lax.sort(
-        (key, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1)
-    vmask = key_s < table * m3 * 64                            # valid rows
+    key_s, h2_s, xs, ys, zs = jax.lax.sort(
+        (key, h2, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=2)
+    vmask = key_s < sentinel                                   # valid rows
 
     ar = jnp.arange(R, dtype=jnp.int32)
-    vstart = jnp.concatenate([jnp.ones((1,), bool),
-                              key_s[1:] != key_s[:-1]]) & vmask
+    vstart = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (key_s[1:] != key_s[:-1]) | (h2_s[1:] != h2_s[:-1])]) & vmask
 
     # voxel-run centroids via cumulative sums (cf. ops/voxel.py)
     def runsum(c):
@@ -147,7 +159,7 @@ def build_grid_voxelized(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
             for c in (xs, ys, zs)]
 
     # slot = rank of this voxel run within its cell bucket's run
-    bkt_s = key_s // (m3 * 64)
+    bkt_s = key_s // m3
     bstart = jnp.concatenate([jnp.ones((1,), bool),
                               bkt_s[1:] != bkt_s[:-1]])
     ex = jnp.cumsum(vstart.astype(jnp.int32)) - vstart.astype(jnp.int32)
@@ -166,7 +178,7 @@ def build_grid_voxelized(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
         keep.astype(jnp.int32), mode="drop")
     n_voxels = jnp.sum(vstart.astype(jnp.int32))
     grid = HashGrid(cells=cells, cnt=cnt, cell=float(leaf * m),
-                    table=int(table), cap=int(cap))
+                    table=int(table), cap=int(cap), nb=int(nb))
     return grid, n_voxels
 
 
@@ -174,6 +186,102 @@ def build_grid_voxelized(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
 # never initializes a JAX backend
 _OFFS = np.stack(np.meshgrid(*([np.arange(-1, 2)] * 3),
                              indexing="ij"), -1).reshape(-1, 3)
+# the 8 supercell-block offsets, (8, 3) in {0, 1}^3
+_OFFS8 = np.stack(np.meshgrid(*([np.arange(0, 2)] * 3),
+                              indexing="ij"), -1).reshape(-1, 3)
+
+
+def _neighborhood(query: jnp.ndarray, grid: HashGrid):
+    """Neighbor-cell integer coords (Q, nb, 3) + per-query guaranteed
+    coverage radius (Q,) for the grid's neighborhood mode."""
+    c = grid.cell
+    if grid.nb == 27:
+        base = jnp.floor(query / c).astype(jnp.int32)
+        nbc = base[:, None, :] + jnp.asarray(_OFFS, jnp.int32)[None]
+        # block spans [c(b-1), c(b+2)) per axis; distance from q in
+        # [cb, cb+c) to either edge is >= c
+        cover = jnp.full(query.shape[:1], c, query.dtype)
+    else:
+        base = jnp.floor(query / c - 0.5).astype(jnp.int32)
+        nbc = base[:, None, :] + jnp.asarray(_OFFS8, jnp.int32)[None]
+        lo = base.astype(query.dtype) * c
+        cover = jnp.min(jnp.minimum(query - lo, lo + 2 * c - query), axis=1)
+    return nbc, cover
+
+
+def gather_candidates(query: jnp.ndarray, q_valid: jnp.ndarray,
+                      grid: HashGrid, C: int):
+    """ONE-SHOT candidate gather + prune: the C nearest grid points of each
+    query within its neighborhood block, as a compact (Q, C, 3) array.
+
+    This is the expensive half of the 5-NN (the (Q, nb, cap) HBM gather is
+    DMA-descriptor-bound); the scan-to-map GN runs it once per mapping step
+    and re-ranks the cached candidates per iteration (knn_from_candidates),
+    re-gathering only when provably necessary:
+
+      * coverage bound: the block covers radius `cover` around the
+        gather-time query position; after the pose moves a query by d, the
+        1 m acceptance ball is still covered while d <= cover - 1.
+      * prune bound: the C-th candidate distance d2C bounds what pruning
+        can hide; every point within 1 m of the moved query is still in the
+        kept set while d <= sqrt(d2C) - 1  (d2C = +inf when the block held
+        fewer than C points, i.e. nothing was pruned).
+
+    Returns (cand (Q,C,3), cand_ok (Q,C), d2C (Q,), cover (Q,)).
+    """
+    Q = query.shape[0]
+    cap = grid.cap
+    nbc, cover = _neighborhood(query, grid)
+    bb = _bucket_of(nbc, grid.table)                            # (Q, nb)
+    n_off = bb.shape[1]
+    # mask duplicate buckets (two neighbor cells hashing together would
+    # contribute the same candidates twice)
+    tri = np.tril(np.ones((n_off, n_off), bool), -1)
+    dup = jnp.any((bb[:, :, None] == bb[:, None, :]) & tri[None], axis=-1)
+
+    cand = grid.cells[bb]                  # (Q, nb, 3, cap) wide-row gather
+    n_in = grid.cnt[bb]
+    ok = (jnp.arange(cap, dtype=jnp.int32)[None, None, :] < n_in[:, :, None]
+          ) & ~dup[:, :, None]
+    diff = cand - query[:, None, :, None]
+    d2 = jnp.sum(diff * diff, axis=2)
+    d2 = jnp.where(ok, d2, jnp.inf).reshape(Q, n_off * cap)
+    d2 = jnp.where(q_valid[:, None], d2, jnp.inf)
+
+    neg_d, sel = jax.lax.top_k(-d2, C)
+    d2k = -neg_d                                               # (Q, C) asc
+    flat_c = cand.transpose(0, 2, 1, 3).reshape(Q, 3, n_off * cap)
+    out = jnp.stack([jnp.take_along_axis(flat_c[:, i, :], sel, axis=1)
+                     for i in range(3)], axis=-1)              # (Q, C, 3)
+    cand_ok = jnp.isfinite(d2k)
+    out = jnp.where(cand_ok[:, :, None], out, query[:, None, :])
+    return out, cand_ok, d2k[:, -1], cover
+
+
+def knn_from_candidates(p_w: jnp.ndarray, q_valid: jnp.ndarray,
+                        cand: jnp.ndarray, cand_ok: jnp.ndarray, k: int = 5):
+    """k nearest of each query's CACHED candidate set (gather_candidates)
+    at the current pose — per-GN-iteration re-ranking, all dense math.
+
+    k argmin passes beat lax.top_k here (C is small) and the select masks
+    fuse.  Returns (nn (Q,k,3), d2 (Q,k)); exhausted slots get +inf
+    distance and the query point itself as nn."""
+    C = cand.shape[1]
+    d2 = jnp.sum((cand - p_w[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_ok & q_valid[:, None], d2, jnp.inf)
+    cols = jnp.arange(C, dtype=jnp.int32)[None]
+    nns, ds = [], []
+    for _ in range(k):
+        i = jnp.argmin(d2, axis=1)
+        ds.append(jnp.take_along_axis(d2, i[:, None], axis=1)[:, 0])
+        nns.append(jnp.take_along_axis(
+            cand, jnp.broadcast_to(i[:, None, None],
+                                   (cand.shape[0], 1, 3)), axis=1)[:, 0])
+        d2 = jnp.where(cols == i[:, None], jnp.inf, d2)
+    nn = jnp.stack(nns, axis=1)
+    d2k = jnp.stack(ds, axis=1)
+    nn = jnp.where(jnp.isfinite(d2k)[:, :, None], nn, p_w[:, None, :])
+    return nn, d2k
 
 
 def grid_knn(query: jnp.ndarray, q_valid: jnp.ndarray, grid: HashGrid,

@@ -65,11 +65,11 @@ def _deskew(q, rel, phi_x, phi_y, phi_z, rn_x, rn_y, rn_z):
 
 def _surf_kernel(scal_ref, q_xyz_ref, q_rel_ref, q_valid_ref,
                  r_xyz_ref, r_ring_ref, r_valid_ref, jtj_ref):
-    """scal (26,) SMEM: rn(0:3), phi(3:6), iter(6), max_d2(7),
+    """scal (26,) SMEM: rn(0:3), phi(3:6), weighted flag(6), max_d2(7),
     RlT row-major (8:17), Rinv row-major (17:26)."""
     i = pl.program_id(0)
 
-    it = scal_ref[6]
+    weighted = scal_ref[6]
     max_d2 = scal_ref[7]
 
     q = q_xyz_ref[...]                     # (TQ, 3)
@@ -121,7 +121,7 @@ def _surf_kernel(scal_ref, q_xyz_ref, q_rel_ref, q_valid_ref,
     pnorm = jnp.sqrt(jnp.sum(p0 * p0, axis=1))
     w = 1.0 - 1.8 * jnp.abs(res) / jnp.sqrt(
         jnp.sqrt(jnp.maximum(pnorm, 1e-12)))
-    s = jnp.where(it >= 1.0, w, 1.0)
+    s = jnp.where(weighted >= 0.5, w, 1.0)
 
     ok = (qv & near & (m2 < max_d2) & (m3 < max_d2)
           & (s > 0.1) & (res != 0.0) & (mn > 1e-12))
@@ -161,15 +161,101 @@ def _surf_kernel(scal_ref, q_xyz_ref, q_rel_ref, q_valid_ref,
     jtj_ref[...] += gram
 
 
-@functools.partial(jax.jit, static_argnames=("max_d2", "interpret", "tile_q"))
-def surf_normal_equations(q_xyz, q_rel, q_valid, r_xyz, r_ring, r_valid,
-                          rn, qbn, iter_count, max_d2=25.0,
-                          interpret=False, tile_q=128):
-    """Fused surf association + reduction.
+def _corner_kernel(scal_ref, q_xyz_ref, q_rel_ref, q_valid_ref,
+                   r_xyz_ref, r_ring_ref, r_valid_ref, jtj_ref):
+    """Point-to-line variant (findCorrespondingCornerFeatures,
+    StateEstimator.hpp:955-1063): tripod1 = global NN, tripod2 = NN on a
+    different ring within ±2; residual = dist(point, line(P1,P2)).
+    Same SMEM layout as _surf_kernel."""
+    i = pl.program_id(0)
 
-    Returns (JtJ (6,6), Jtr (6,), res_sq_sum, n_matched) in f32.
-    Q must be a multiple of tile_q.
-    """
+    weighted = scal_ref[6]
+    max_d2 = scal_ref[7]
+
+    q = q_xyz_ref[...]
+    rel = q_rel_ref[...][:, 0]
+    qv = q_valid_ref[...][:, 0] > 0
+    r = r_xyz_ref[...]
+    ring = r_ring_ref[...][:, 0]
+    rv = r_valid_ref[...][:, 0] > 0
+
+    p0 = _deskew(q, rel, scal_ref[3], scal_ref[4], scal_ref[5],
+                 scal_ref[0], scal_ref[1], scal_ref[2])
+
+    d2 = (jnp.sum(p0 * p0, axis=1, keepdims=True)
+          + jnp.sum(r * r, axis=1)[None, :]
+          - 2.0 * jax.lax.dot_general(
+              p0, r, (((1,), (1,)), ((), ())),
+              preferred_element_type=jnp.float32))
+    d2 = jnp.where(rv[None, :], jnp.maximum(d2, 0.0), _BIG)
+
+    d1 = jnp.min(d2, axis=1)
+    sel1 = _normalized_onehot(d2, d1)
+    ring1 = sel1 @ ring[:, None]
+    near = d1 < max_d2
+
+    other = ((ring[None, :] != ring1)
+             & (jnp.abs(ring[None, :] - ring1) <= 2.5) & rv[None, :])
+    m2 = jnp.min(jnp.where(other, d2, _BIG), axis=1)
+    sel2 = _normalized_onehot(jnp.where(other, d2, _BIG), m2)
+
+    P1 = sel1 @ r
+    P2 = sel2 @ r
+
+    # Pc = (P0-P1) x (P0-P2); res = |Pc| / |P1-P2|
+    ax, ay, az = (p0 - P1)[:, 0], (p0 - P1)[:, 1], (p0 - P1)[:, 2]
+    bx, by, bz = (p0 - P2)[:, 0], (p0 - P2)[:, 1], (p0 - P2)[:, 2]
+    cx_ = ay * bz - az * by
+    cy_ = az * bx - ax * bz
+    cz_ = ax * by - ay * bx
+    rr = jnp.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
+    dx, dy, dz = (P2 - P1)[:, 0], (P2 - P1)[:, 1], (P2 - P1)[:, 2]
+    d12 = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    d12_safe = jnp.maximum(d12, 1e-12)
+    denom = jnp.maximum(d12 * rr, 1e-12)
+    res = rr / d12_safe
+    # jac = Pcᵀ skew(P2-P1) / (d12 r) = cross(Pc, P2-P1) / denom
+    jx = (cy_ * dz - cz_ * dy) / denom
+    jy = (cz_ * dx - cx_ * dz) / denom
+    jz = (cx_ * dy - cy_ * dx) / denom
+
+    w = 1.0 - 1.8 * jnp.abs(res)
+    s = jnp.where(weighted >= 0.5, w, 1.0)
+
+    ok = (qv & near & (m2 < max_d2)
+          & (s > 0.1) & (res != 0.0) & (rr > 1e-12))
+    okf = ok.astype(jnp.float32)
+
+    cx = okf * s * jx
+    cy = okf * s * jy
+    cz = okf * s * jz
+    rw = okf * s * res
+
+    T = lambda k: scal_ref[8 + k]
+    c2x = -(T(0) * cx + T(1) * cy + T(2) * cz)
+    c2y = -(T(3) * cx + T(4) * cy + T(5) * cz)
+    c2z = -(T(6) * cx + T(7) * cy + T(8) * cz)
+    gx = c2y * q[:, 2] - c2z * q[:, 1]
+    gy = c2z * q[:, 0] - c2x * q[:, 2]
+    gz = c2x * q[:, 1] - c2y * q[:, 0]
+    V = lambda k: scal_ref[17 + k]
+    h0 = gx * V(0) + gy * V(3) + gz * V(6)
+    h1 = gx * V(1) + gy * V(4) + gz * V(7)
+    h2 = gx * V(2) + gy * V(5) + gz * V(8)
+
+    J8 = jnp.stack([h0, h1, h2, cx, cy, cz, rw, okf], axis=1)
+    gram = jax.lax.dot_general(J8, J8, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        jtj_ref[...] = jnp.zeros_like(jtj_ref)
+
+    jtj_ref[...] += gram
+
+
+def _run_assoc_kernel(kernel, q_xyz, q_rel, q_valid, r_xyz, r_ring, r_valid,
+                      rn, qbn, weighted, max_d2, interpret, tile_q):
     Q = q_xyz.shape[0]
     R = r_xyz.shape[0]
     qbn32 = qbn.astype(jnp.float32)
@@ -178,10 +264,11 @@ def surf_normal_equations(q_xyz, q_rel, q_valid, r_xyz, r_ring, r_valid,
     Rinv = so3.rinv_left(-phi).reshape(-1)
     scal = jnp.concatenate([
         rn.astype(jnp.float32), phi,
-        jnp.asarray([iter_count, max_d2], jnp.float32), RlT, Rinv])
+        jnp.stack([jnp.asarray(weighted, jnp.float32),
+                   jnp.asarray(max_d2, jnp.float32)]), RlT, Rinv])
 
     out = pl.pallas_call(
-        _surf_kernel,
+        kernel,
         grid=(Q // tile_q,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -203,3 +290,37 @@ def surf_normal_equations(q_xyz, q_rel, q_valid, r_xyz, r_ring, r_valid,
 
     return (out[:6, :6], out[:6, 6], out[6, 6],
             out[7, 7].astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("max_d2", "interpret", "tile_q",
+                                              "icp_freq"))
+def surf_normal_equations(q_xyz, q_rel, q_valid, r_xyz, r_ring, r_valid,
+                          rn, qbn, iter_count, max_d2=25.0,
+                          interpret=False, tile_q=128, icp_freq=1):
+    """Fused surf association + reduction.
+
+    Returns (JtJ (6,6), Jtr (6,), res_sq_sum, n_matched) in f32.
+    Q must be a multiple of tile_q.
+    """
+    weighted = (jnp.asarray(iter_count, jnp.float32)
+                >= icp_freq).astype(jnp.float32)
+    return _run_assoc_kernel(
+        _surf_kernel, q_xyz, q_rel, q_valid, r_xyz, r_ring, r_valid,
+        rn, qbn, weighted, max_d2, interpret, tile_q)
+
+
+@functools.partial(jax.jit, static_argnames=("max_d2", "interpret", "tile_q",
+                                              "icp_freq"))
+def corner_normal_equations(q_xyz, q_rel, q_valid, r_xyz, r_ring, r_valid,
+                            rn, qbn, iter_count, max_d2=25.0,
+                            interpret=False, tile_q=128, icp_freq=1):
+    """Fused corner (point-to-line) association + reduction.
+
+    Returns (JtJ (6,6), Jtr (6,), res_sq_sum, n_matched) in f32.
+    Q must be a multiple of tile_q.
+    """
+    weighted = (jnp.asarray(iter_count, jnp.float32)
+                >= icp_freq).astype(jnp.float32)
+    return _run_assoc_kernel(
+        _corner_kernel, q_xyz, q_rel, q_valid, r_xyz, r_ring, r_valid,
+        rn, qbn, weighted, max_d2, interpret, tile_q)

@@ -11,9 +11,33 @@ import jax
 import jax.numpy as jnp
 
 
+def hash3(v: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
+    """Murmur-style mixed hash of integer voxel coords (..., 3) -> int32.
+
+    The classic LOAM/PCL spatial hash (x*73856093 ^ y*19349663 ^ z*83492791)
+    has STRUCTURAL collisions — e.g. cells (6,-40,-6) and (-6,-40,6) collide
+    exactly, silently merging distinct voxels for symmetric scan geometry.
+    A multiply-xorshift mix destroys that structure."""
+    x = v.astype(jnp.uint32)
+    h = (x[..., 0] + jnp.uint32(seed)) * jnp.uint32(0x9E3779B1)
+    h = (h ^ x[..., 1]) * jnp.uint32(0x85EBCA77)
+    h = (h ^ x[..., 2]) * jnp.uint32(0xC2B2AE3D)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h.astype(jnp.int32)
+
+
 def voxel_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float,
                      cap: int | None = None):
     """Downsample a masked (N,3) cloud to voxel centroids.
+
+    Voxel identity is a PAIR of independent 32-bit hashes sorted as a
+    composite key — two distinct voxels merge only on a 64-bit collision
+    (the single-int32 identity of round 1 merged ~n^2/2^33 voxel pairs per
+    call, and worse: its XOR structure collided for symmetric coords).
 
     Returns (xyz (cap,3), valid (cap,)) with centroids compacted to the
     front; cap defaults to N.
@@ -21,15 +45,16 @@ def voxel_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     N = xyz.shape[0]
     cap = cap or N
     v = jnp.floor(xyz / leaf).astype(jnp.int32)
-    h = (v[:, 0] * 73856093) ^ (v[:, 1] * 19349663) ^ (v[:, 2] * 83492791)
-    h = jnp.where(mask, h, jnp.iinfo(jnp.int32).max)
+    h1 = jnp.where(mask, hash3(v), jnp.iinfo(jnp.int32).max)
+    h2 = jnp.where(mask, hash3(v, seed=0x51ED), jnp.iinfo(jnp.int32).max)
 
-    order = jnp.argsort(h)
-    hs = h[order]
-    xs = xyz[order]
-    ms = mask[order]
+    hs, h2s, xs0, xs1, xs2, ms = jax.lax.sort(
+        (h1, h2, xyz[:, 0], xyz[:, 1], xyz[:, 2], mask), num_keys=2)
+    xs = jnp.stack([xs0, xs1, xs2], axis=1)
 
-    start = jnp.concatenate([jnp.asarray([True]), hs[1:] != hs[:-1]]) & ms
+    start = jnp.concatenate([
+        jnp.asarray([True]),
+        (hs[1:] != hs[:-1]) | (h2s[1:] != h2s[:-1])]) & ms
     cx = jnp.concatenate([jnp.zeros((1, 3), xs.dtype), jnp.cumsum(
         jnp.where(ms[:, None], xs, 0.0), axis=0)])
     cn = jnp.concatenate([jnp.zeros((1,), jnp.int32),

@@ -36,7 +36,8 @@ def batched_scan_step(cfg: SlamConfig):
     def one(filter_state, global_state, last_surf, last_corner,
             xyz, n_points, dts, accs, gyrs, imu_valid):
         _, _, feats = process_cloud(xyz, n_points, cfg)
-        fs, g, surf, corner, rel_rn, rel_qbn, metrics = est.running_step_impl(
+        (fs, g, surf, corner, rel_rn, rel_qbn, metrics,
+         _outl) = est.running_step_impl(
             filter_state, global_state, feats, last_surf, last_corner,
             dts, accs, gyrs, imu_valid, cfg)
         return fs, g, surf, corner, rel_rn, rel_qbn

@@ -14,7 +14,7 @@ import numpy as np
 
 from lins_tpu.config import SlamConfig
 from lins_tpu.geom import so3
-from lins_tpu.mapping.mapper import LinsMapper, warm_start
+from lins_tpu.mapping.mapper import LinsMapper, imu_roll_pitch, warm_start
 from lins_tpu.odometry import LinsOdometry
 from lins_tpu.odometry.estimator import STATUS_RUNNING
 from lins_tpu.utils.lazy import LazyRows as _LazyRows
@@ -53,9 +53,14 @@ class LinsSlam:
         if self.mapper is not None:
             corner = self.odometry.last_corner
             surf = self.odometry.last_surf
+            outl = self.odometry.last_outlier
+            imu = self.odometry._last_imu
+            rp = (imu_roll_pitch(imu[0], self.cfg.gravity)
+                  if imu is not None else None)
             self.mapper.process(t, odo_pos, odo_quat,
                                 corner["xyz"], corner["valid"],
-                                surf["xyz"], surf["valid"])
+                                surf["xyz"], surf["valid"],
+                                outl["xyz"], outl["valid"], imu_rp=rp)
             self.mapper.maybe_close_loop(t)
             # high-rate fused output (transform_fusion_node)
             pos, quat = _warm_start(self.mapper.state, odo_pos, odo_quat)
@@ -108,34 +113,51 @@ class LinsSlam:
             imu_i += 1
         ks = list(range(k, n))
         tail = len(ks) % chunk
+        scan_ts = [float(data["scan_times"][j]) + cfg.scan_period for j in ks]
+        # per-scan raw-IMU roll/pitch (latest sample <= scan end) for the
+        # mapping transformUpdate blend — from the still-buffered IMU stream
+        # (prefetch_chunks consumes it below)
+        imu_t = np.asarray(self.odometry._imu_t, float)
+        imu_a = (np.stack(self.odometry._imu_a)
+                 if self.odometry._imu_a else np.zeros((0, 3)))
+        rp_all = np.full((len(ks), 2), np.nan)
+        for i, t in enumerate(scan_ts):
+            j = np.searchsorted(imu_t, t + 1e-9) - 1
+            if j >= 0:
+                rp_all[i] = imu_roll_pitch(imu_a[j], cfg.gravity)
         chunks = self.odometry.prefetch_chunks(
-            [float(data["scan_times"][j]) + cfg.scan_period for j in ks],
+            scan_ts,
             [data["scans_xyz"][j] for j in ks],
             [data["scans_n"][j] for j in ks], chunk=chunk, with_imu=True)
         # stage everything the hot loop needs up front: scan times, mapping
-        # and loop-closure gate flags, per chunk (mid-stream host->device
-        # transfers serialize against queued compute on this relay)
+        # and loop-closure gate flags, IMU roll/pitch, per chunk (mid-stream
+        # host->device transfers serialize against queued compute on this
+        # relay)
         staged = []
-        for c in chunks:
+        for ci, c in enumerate(chunks):
             ts = c[0]
             ts_dev = jax.device_put(np.asarray(ts, np.float32))
             if self.mapper is not None:
                 mf, lf = self.mapper.plan_chunk(ts)
                 flags_dev = (jax.device_put(mf), jax.device_put(lf))
+                rp_dev = jax.device_put(np.asarray(
+                    rp_all[ci * chunk:(ci + 1) * chunk],
+                    self.odometry.dtype))
             else:
-                mf = lf = flags_dev = None
-            staged.append((ts_dev, mf, lf, flags_dev))
+                mf = lf = flags_dev = rp_dev = None
+            staged.append((ts_dev, mf, lf, flags_dev, rp_dev))
         jax.block_until_ready([s[0] for s in staged])
-        for (ts, xyz_k, n_k, imu), (ts_dev, mf, lf, fdev) in zip(chunks,
-                                                                 staged):
+        for (ts, xyz_k, n_k, imu), (ts_dev, mf, lf, fdev,
+                                    rp_dev) in zip(chunks, staged):
             self.odometry.add_scan_chunk(ts, xyz_k, n_k, imu=imu)
-            self._post_chunk(ts, ts_dev, mf, lf, fdev)
+            self._post_chunk(ts, ts_dev, mf, lf, fdev, rp_dev)
         for j in ks[len(ks) - tail:] if tail else []:
             t_scan = float(data["scan_times"][j]) + cfg.scan_period
             self.add_scan(t_scan, data["scans_xyz"][j], data["scans_n"][j])
         return self
 
-    def _post_chunk(self, ts, ts_dev, map_flags, loop_flags, flags_dev):
+    def _post_chunk(self, ts, ts_dev, map_flags, loop_flags, flags_dev,
+                    rp_dev=None):
         """Mapping + loop closure over one finished chunk in one dispatch
         (LinsMapper.process_chunk) + per-scan fused high-rate poses,
         streaming-identical: each scan's fused pose uses the correction
@@ -145,7 +167,7 @@ class LinsSlam:
         if self.mapper is not None:
             ps, qs = self.mapper.process_chunk(
                 ts, rns, qbns, odo.last_chunk_clouds, ts_dev,
-                map_flags, loop_flags, flags_dev)
+                map_flags, loop_flags, flags_dev, imu_rp_dev=rp_dev)
         else:
             ps, qs = rns, qbns
         p_rows, q_rows = _LazyRows(ps), _LazyRows(qs)

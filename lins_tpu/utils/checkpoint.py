@@ -102,10 +102,10 @@ def export_global_map(path: str, mapper, leaf: float = 0.4,
     from lins_tpu.geom import so3
     from lins_tpu.ops.voxel import voxel_downsample
 
+    from lins_tpu.mapping import keyframes as kfm
+
     store = mapper.state.store
-    K = store.pos.shape[0]
-    ids = jnp.arange(K)
-    keep = ids < store.count
+    keep = kfm.live_mask(store)
 
     def to_world(cloud, valid, p, q, k):
         return (so3.quat_rotate(q[None, :], cloud) + p[None, :], valid & k)
@@ -114,8 +114,11 @@ def export_global_map(path: str, mapper, leaf: float = 0.4,
                                 store.quat, keep)
     cw, cv = jax.vmap(to_world)(store.corner, store.corner_valid, store.pos,
                                 store.quat, keep)
-    xyz = jnp.concatenate([sw.reshape(-1, 3), cw.reshape(-1, 3)])
-    ok = jnp.concatenate([sv.reshape(-1), cv.reshape(-1)])
+    ow, ov = jax.vmap(to_world)(store.outlier, store.outlier_valid, store.pos,
+                                store.quat, keep)
+    xyz = jnp.concatenate([sw.reshape(-1, 3), cw.reshape(-1, 3),
+                           ow.reshape(-1, 3)])
+    ok = jnp.concatenate([sv.reshape(-1), cv.reshape(-1), ov.reshape(-1)])
     ds, ds_ok = voxel_downsample(xyz, ok, leaf, min(cap, xyz.shape[0]))
     pts = np.asarray(ds)[np.asarray(ds_ok)]
     if path.endswith(".ply"):

@@ -191,3 +191,70 @@ class TestLoopDetection:
         store = self._store_with_track(pos, times)
         idx, found = detect_loop(store, jnp.int32(2), jnp.float32(2.0), CFG)
         assert not bool(found)  # all neighbors too recent (<30 s)
+
+
+class TestSparseCG:
+    """Matrix-free block-Jacobi PCG pose-graph solve (pose_graph.optimize_cg)
+    vs the dense Cholesky path, and at K=4096 where dense cannot allocate."""
+
+    def test_matches_dense_on_loop_graph(self):
+        from lins_tpu.graph.pose_graph import optimize_cg
+        gt_pos, gt_quat, init_pos, init_quat, edges, n = make_drifted_circle(
+            drift=0.05)
+        t_rel, q_rel = relative_pose(
+            jnp.asarray(gt_pos[n - 1], jnp.float64),
+            jnp.asarray(gt_quat[n - 1], jnp.float64),
+            jnp.asarray(gt_pos[0], jnp.float64),
+            jnp.asarray(gt_quat[0], jnp.float64))
+        edges = add_edge(edges, n - 1, 0, t_rel, q_rel, 1e4, 1e4)
+        pos_d, quat_d = optimize(jnp.asarray(init_pos),
+                                 jnp.asarray(init_quat),
+                                 jnp.int32(n), edges, iters=10)
+        pos_s, quat_s = optimize_cg(jnp.asarray(init_pos),
+                                    jnp.asarray(init_quat),
+                                    jnp.int32(n), edges, iters=10,
+                                    cg_iters=128)
+        np.testing.assert_allclose(np.asarray(pos_s[:n]),
+                                   np.asarray(pos_d[:n]), atol=1e-4)
+        c_d = float(graph_cost(pos_d, quat_d, edges))
+        c_s = float(graph_cost(pos_s, quat_s, edges))
+        assert c_s <= c_d * 1.5 + 1e-9
+
+    def test_k4096_chain_with_loop(self):
+        # the dense path would need a (24576)^2 float matrix (~2.4 GB) —
+        # the sparse path solves it in O(E)
+        from lins_tpu.graph.pose_graph import optimize_cg
+        from lins_tpu.graph.pose_graph import EdgeSet
+        K = 4096
+        n = 4096
+        rng = np.random.default_rng(0)
+        E = K + 8
+        ii = np.zeros(E, np.int32)
+        jj = np.zeros(E, np.int32)
+        tt = np.zeros((E, 3), np.float32)
+        qq = np.zeros((E, 4), np.float32)
+        qq[:, 0] = 1.0
+        w = np.zeros(E, np.float32)
+        vv = np.zeros(E, bool)
+        ii[:n - 1] = np.arange(n - 1)
+        jj[:n - 1] = np.arange(1, n)
+        tt[:n - 1] = [1.0, 0.0, 0.0]
+        w[:n - 1] = 1e4
+        vv[:n - 1] = True
+        edges = EdgeSet(i=jnp.asarray(ii), j=jnp.asarray(jj),
+                        t=jnp.asarray(tt), q=jnp.asarray(qq),
+                        w_rot=jnp.asarray(w), w_pos=jnp.asarray(w),
+                        valid=jnp.asarray(vv), count=jnp.int32(n - 1))
+        # ground truth: straight line; drifted init
+        init_pos = np.zeros((K, 3), np.float32)
+        init_pos[:n, 0] = np.arange(n)
+        init_pos[:n, 1] = np.cumsum(rng.normal(scale=0.02, size=n))
+        init_quat = np.zeros((K, 4), np.float32)
+        init_quat[:, 0] = 1.0
+        c0 = float(graph_cost(jnp.asarray(init_pos), jnp.asarray(init_quat),
+                              edges))
+        pos2, quat2 = optimize_cg(jnp.asarray(init_pos),
+                                  jnp.asarray(init_quat), jnp.int32(n),
+                                  edges, iters=3, cg_iters=96)
+        c1 = float(graph_cost(pos2, quat2, edges))
+        assert np.isfinite(c1) and c1 < 0.01 * max(c0, 1.0), (c0, c1)

@@ -174,3 +174,42 @@ class TestShardedKeyframeStore:
         np.testing.assert_array_equal(np.asarray(cv1), np.asarray(cv0))
         np.testing.assert_allclose(np.asarray(sm1), np.asarray(sm0),
                                    atol=1e-6)
+
+
+class TestShardedCG:
+    def test_matches_dense_sharded(self):
+        from lins_tpu.parallel.dist_graph import make_sharded_cg_optimizer
+
+        pos, quat, n, edges = chain_graph()
+        K = pos.shape[0]
+        mesh = make_mesh(8)
+        dense = make_sharded_optimizer(mesh, K, iters=8)
+        sparse = make_sharded_cg_optimizer(mesh, K, iters=8, cg_iters=96,
+                                           damping=1e-6)
+        p0, q0 = dense(pos, quat, n, edges)
+        p1, q1 = sparse(pos, quat, n, edges)
+        np.testing.assert_allclose(np.asarray(p1)[:n], np.asarray(p0)[:n],
+                                   atol=1e-4)
+
+
+class TestMultihost:
+    def test_single_process_fallback(self):
+        from lins_tpu.parallel import multihost
+
+        assert multihost.initialize() is False  # no env configured
+        mesh = multihost.global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        sl = multihost.local_batch_slice(mesh, 16)
+        assert (sl.start, sl.stop) == (0, 16)
+
+    def test_make_global_batch(self):
+        from jax.sharding import PartitionSpec as P
+        from lins_tpu.parallel import multihost
+
+        mesh = multihost.global_mesh()
+        n_dev = mesh.devices.size
+        x = np.arange(n_dev * 2 * 3, dtype=np.float32).reshape(n_dev * 2, 3)
+        g = multihost.make_global_batch(mesh, {"x": x})["x"]
+        assert g.shape == (n_dev * 2, 3)
+        assert g.sharding.spec == P("seq", None)
+        np.testing.assert_array_equal(np.asarray(g), x)
