@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--out", default="out", help="output directory")
     ap.add_argument("--map-format", default="npz", choices=("npz", "ply"),
                     help="global map export format")
+    ap.add_argument("--chunk", type=int, default=24,
+                    help="scans per device dispatch in replay mode")
     ap.add_argument("--stream", action="store_true",
                     help="per-scan streaming mode (default: chunked replay "
                          "with HBM prefetch — same odometry, much faster on "
@@ -94,8 +96,9 @@ def main():
     if args.resume:
         ckpt.load_state(args.resume, slam.odometry, slam.mapper)
 
-    chunk = 24    # scans per odometry dispatch in replay mode; the mapping
-    # cadence inside the chunk stays mapping_process_interval regardless
+    chunk = args.chunk    # scans per odometry dispatch in replay mode; the
+    # mapping cadence inside the chunk stays mapping_process_interval
+    # regardless
     t_c = time.perf_counter()
     slam.warmup(chunk=None if args.stream else chunk)
     compile_s = time.perf_counter() - t_c
