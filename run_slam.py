@@ -42,8 +42,12 @@ def main():
                     help="save state every N scans")
     ap.add_argument("--resume", help="checkpoint file to resume from")
     ap.add_argument("--out", default="out", help="output directory")
-    ap.add_argument("--map-format", default="npz", choices=("npz", "ply"),
-                    help="global map export format")
+    ap.add_argument("--map-format", default="npz",
+                    choices=("npz", "ply", "none"),
+                    help="global map export format (none: skip)")
+    ap.add_argument("--no-state", action="store_true",
+                    help="skip the final_state.npz dump (the compressed "
+                         "full-store npz costs minutes at VLP-16 scale)")
     ap.add_argument("--chunk", type=int, default=24,
                     help="scans per device dispatch in replay mode")
     ap.add_argument("--stream", action="store_true",
@@ -134,11 +138,13 @@ def main():
         for m in slam.mapper.metrics:
             log.record("mapping", **{k: np.asarray(v).item()
                                      for k, v in m.items()})
-        n_map = ckpt.export_global_map(
-            os.path.join(args.out, f"global_map.{args.map_format}"),
-            slam.mapper)
-        ckpt.save_state(os.path.join(args.out, "final_state.npz"),
-                        slam.odometry, slam.mapper)
+        if args.map_format != "none":
+            ckpt.export_global_map(
+                os.path.join(args.out, f"global_map.{args.map_format}"),
+                slam.mapper)
+        if not args.no_state:
+            ckpt.save_state(os.path.join(args.out, "final_state.npz"),
+                            slam.odometry, slam.mapper)
     log.dump(os.path.join(args.out, "metrics.jsonl"))
 
     summary = dict(
