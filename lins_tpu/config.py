@@ -102,6 +102,12 @@ class SlamConfig:
     history_keyframe_fitness_score: float = 0.3
     loop_closure_enabled: bool = True
     loop_time_gate: float = 30.0             # min age of loop candidates (s)
+    # loop ICP budget: coarse-to-fine gate max_corr -> 1 m over `iters`
+    # (the reference's PCL ICP runs 100 m / 100 iters,
+    # lidar_mapping_node.cpp:1127-1138; candidates sit within the 5 m
+    # detection radius, so 25 m covers its practical recovery envelope)
+    loop_icp_iters: int = 40
+    loop_icp_max_corr: float = 25.0
     # Pose-graph edge variances.  The reference feeds gtsam 1e-6/1e-8
     # odometry variances (lidar_mapping_node.cpp:383-385) which, against
     # fitness-weighted loop factors, lets a loop edge correct only ~2% of
@@ -119,6 +125,10 @@ class SlamConfig:
     map_surf_leaf: float = 0.4
     map_outlier_leaf: float = 0.4
     scan2map_iters: int = 10                 # lidar_mapping_node.cpp:1640
+    # full local-map compaction rebuild every N keyframe inserts (bounds
+    # voxel-map tombstone leak + f32 sum drift; ops/voxel_map.py). The
+    # reference has no equivalent — it rebuilds every step.
+    map_rebuild_interval: int = 64
 
     # --- fixed capacities for static TPU shapes (build-specific) ---
     max_imu_per_scan: int = 64       # IMU samples padded per scan interval (400Hz * 0.1s + slack)

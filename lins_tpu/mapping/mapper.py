@@ -163,10 +163,23 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
         store2 = kf.add_keyframe(store, t_m, q_m, time, c_ds, c_ok,
                                  s_ds, s_ok, o_ds, o_ok)
         if not radius_mode:
-            # recent-window ring insert + grid rebuild; in radius mode the
-            # next step's selection picks the new keyframe up instead
+            # recent-window incremental insert (evict-subtract + add-scatter,
+            # ops/voxel_map.py); in radius mode the next step's selection
+            # picks the new keyframe up instead
             lmap = lmn.push_keyframe(lmap, new_id, t_m, q_m, c_ds, c_ok,
                                      s_ds, s_ok, o_ds, o_ok, gp)
+            # periodic compaction: tombstone leak, cell overflow, and f32
+            # sum drift are all bounded by a full fused rebuild every
+            # map_rebuild_interval keyframes (amortized ~1/interval of the
+            # round-2 per-step rebuild cost)
+            need = (lmap.pushes >= cfg.map_rebuild_interval) | \
+                lmap.rebuild_due
+            ids, okm, wslots = lmn.recent_window_ids(store2, n_window)
+            lmap = jax.lax.cond(
+                need,
+                lambda lm: lmn.rebuild_window(lm, store2, ids, okm,
+                                              wslots, gp),
+                lambda lm: lm, lmap)
         # odometry between-factor prev_kf -> new_kf with ABSOLUTE ids
         # (saveKeyFramesAndFactor, lidar_mapping_node.cpp:1693-1703)
         prev_id = jnp.maximum(new_id - 1, 0)
@@ -487,6 +500,21 @@ class LinsMapper:
         self.state, info = self._loop_step(self.state, t_dev)
         self.loop_info.append(info)
         return info
+
+    def rebuild_local_map(self):
+        """Reconstruct the derived local-map caches (voxel maps + eviction
+        deltas) from the keyframe store — after load_state (checkpoints do
+        not serialize the ~200 MB derived lmap) or any external store edit.
+        Radius mode defers to the next mapping step's selection (a fresh
+        sel=-1 forces the rebuild there)."""
+        fresh = lmn.empty_local_map(self.cfg, self.n_window, *self.caps,
+                                    self.dtype, self.gp)
+        if self.cfg.loop_closure_enabled:
+            ids, ok, wslots = lmn.recent_window_ids(self.state.store,
+                                                    self.n_window)
+            fresh = jax.jit(lmn.rebuild_window, static_argnames=("gp",))(
+                fresh, self.state.store, ids, ok, wslots, self.gp)
+        self.state = self.state._replace(lmap=fresh)
 
     def correction(self):
         """Latest (bef, aft) odometry->map correction for high-rate fusion."""

@@ -1,10 +1,16 @@
 """Micro-profile of the mapping-step components on the attached TPU.
 
-Times, per call (median of reps, jit-compiled, donated where the production
-path donates): the current-scan voxel downsamples, the scan-to-map GN
-refinement against cached grids, the window grid rebuild (push_keyframe),
-and one loop-closure attempt.  Prints a JSON breakdown — the evidence base
-for where the ~(1/slam_rate - 1/odo_rate) per-scan mapping budget goes.
+Times, per call (median of reps, jit-compiled): the current-scan voxel
+downsamples, the scan-to-map GN refinement against cached grids, the
+INCREMENTAL keyframe insert (ops/voxel_map delta scatter — scan-batched K
+times inside one jit so the ~25-45 ms remote-relay dispatch overhead is
+amortized out of the per-op number), the full compaction rebuild, and one
+loop-closure attempt.  Prints a JSON breakdown — the evidence base for
+where the ~(1/slam_rate - 1/odo_rate) per-scan mapping budget goes.
+
+Single-dispatch timings (scan_to_map, rebuild, loop) still INCLUDE one
+relay round-trip (~25-45 ms when remote-attached); compare them against
+`dispatch_floor_ms` (a no-op dispatch) rather than zero.
 """
 from __future__ import annotations
 
@@ -62,7 +68,7 @@ def main():
     t0p = jnp.zeros(3, jnp.float32)
     q0 = so3.quat_identity(jnp.float32)
 
-    # fill the window so rebuilds see representative density
+    # fill the window so timed ops see representative density
     push = jax.jit(partial(lmn.push_keyframe, gp=gp),
                    donate_argnums=(0,))
     for i in range(n_window):
@@ -74,8 +80,11 @@ def main():
 
     res = {}
 
+    # 0. relay dispatch floor: one trivial jit round-trip
+    noop = jax.jit(lambda x: x + 1.0)
+    res["dispatch_floor_ms"] = 1e3 * timeit(noop, jnp.float32(0.0))
+
     # 1. current-scan voxel downsamples (4 calls/step)
-    craw, craw_ok = cloud(cfg.max_less_sharp)
     sraw, sraw_ok = cloud(cfg.max_less_flat)
     vd = jax.jit(partial(voxel_downsample, leaf=cfg.map_surf_leaf,
                          cap=surf_cap))
@@ -88,15 +97,40 @@ def main():
         s2m, t0p, q0, c_ds, c_ok, s_ds, s_ok, lm.corner_grid, lm.surf_grid,
         lm.n_corner, lm.n_surf)
 
-    # 3. window grid rebuild (push_keyframe; paid when a keyframe is added)
-    push2 = jax.jit(partial(lmn.push_keyframe, gp=gp))
-    res["push_keyframe_rebuild_ms"] = 1e3 * timeit(
-        push2, state.lmap, jnp.int32(n_window), t0p, q0, c_ds, c_ok,
-        s_ds, s_ok, o_ds, o_ok)
+    # 3. INCREMENTAL keyframe insert: K pushes in one lax.scan dispatch
+    #    (evict-subtract + delta-add each; per-push = total / K)
+    K = 32
 
-    # 4. one full mapping step (production jit, no keyframe add vs add)
+    def push_k(lm, poss):
+        def body(lm, i_pos):
+            i, pos = i_pos
+            return lmn.push_keyframe(lm, n_window + i, pos, q0, c_ds, c_ok,
+                                     s_ds, s_ok, o_ds, o_ok, gp), ()
+        lm, _ = jax.lax.scan(body, lm,
+                             (jnp.arange(K, dtype=jnp.int32), poss))
+        return lm
+    poss = jnp.asarray(rng.uniform(-20, 20, (K, 3)), jnp.float32)
+    push_kj = jax.jit(push_k)
+    res["push_keyframe_incremental_ms"] = 1e3 * timeit(
+        push_kj, state.lmap, poss) / K
+
+    # 4. full compaction rebuild (paid every map_rebuild_interval inserts,
+    #    on overflow, on loop rewrite, on radius re-selection)
+    ids, okm, wslots = lmn.recent_window_ids(state.store, n_window)
+    # profile-only: ids from an empty store are masked; force all-on so the
+    # rebuild sees the full window density
+    okm = jnp.ones_like(okm)
+    ids = jnp.arange(n_window, dtype=jnp.int32)
+    reb = jax.jit(partial(lmn.rebuild_window, gp=gp))
+    res["rebuild_window_ms"] = 1e3 * timeit(
+        reb, state.lmap, state.store, ids, okm, wslots)
+
+    # 5. one full mapping step (production jit, refine path isolated: the
+    #    profiled cfg raises the keyframe gate so the timed step never
+    #    takes the keyframe-add branch)
+    cfg_iso = cfg.replace(keyframe_gate_meters=1e9)
     step = jax.jit(partial(
-        mp._mapping_step_impl, cfg=cfg, corner_cap=corner_cap,
+        mp._mapping_step_impl, cfg=cfg_iso, corner_cap=corner_cap,
         surf_cap=surf_cap, outlier_cap=outlier_cap, n_window=n_window,
         gp=gp))
     craw_f = jnp.asarray(rng.uniform(-40, 40, (cfg.max_less_sharp, 3)),
@@ -106,20 +140,25 @@ def main():
     oraw_f = jnp.asarray(rng.uniform(-40, 40, (cfg.max_outlier, 3)),
                          jnp.float32)
     rp = jnp.asarray([np.nan, np.nan], jnp.float32)
-    # seed one keyframe so the timed step takes the refine branch (and the
-    # 0.3 m gate then skips the keyframe-add rebuild: this isolates
-    # downsample+GN; the rebuild is res[3])
+    # seed one keyframe so the timed step takes the refine branch
     state = step(state, t0p, q0, jnp.float32(0.5),
                  craw_f, jnp.ones(cfg.max_less_sharp, bool),
                  sraw_f, jnp.ones(cfg.max_less_flat, bool),
                  oraw_f, jnp.ones(cfg.max_outlier, bool), rp)[0]
+    st2, _, _, metrics = step(
+        state, t0p, q0, jnp.float32(1.0),
+        craw_f, jnp.ones(cfg.max_less_sharp, bool),
+        sraw_f, jnp.ones(cfg.max_less_flat, bool),
+        oraw_f, jnp.ones(cfg.max_outlier, bool), rp)
+    assert not bool(metrics["keyframe_added"]), \
+        "timed step must stay on the refine-only path"
     res["mapping_step_ms"] = 1e3 * timeit(
         step, state, t0p, q0, jnp.float32(1.0),
         craw_f, jnp.ones(cfg.max_less_sharp, bool),
         sraw_f, jnp.ones(cfg.max_less_flat, bool),
         oraw_f, jnp.ones(cfg.max_outlier, bool), rp)
 
-    # 5. one loop-closure attempt (no accepted loop: detection + gated ICP)
+    # 6. one loop-closure attempt (no accepted loop: detection + gated ICP)
     loop = jax.jit(partial(mp._loop_step_impl, cfg=cfg, submap_cap=16384,
                            cloud_cap=8192, opt_iters=8, n_window=n_window,
                            gp=gp))
