@@ -71,7 +71,7 @@ def default_world() -> World:
 # ---------------------------------------------------------------------------
 
 def make_trajectory(kind: str = "gentle", speed: float = 1.0,
-                    z0: float = 0.8) -> Callable:
+                    z0: float = 0.8, loop_scale: float = 1.0) -> Callable:
     """Returns pose(t) -> (p_world (3,), q_wb (4,) wxyz) as a jax-traceable fn.
 
     Body x-axis tracks the direction of travel (yaw from velocity), with
@@ -96,6 +96,26 @@ def make_trajectory(kind: str = "gentle", speed: float = 1.0,
                 8.0 * jnp.sin(0.12 * speed * t),
                 6.0 * (1 - jnp.cos(0.12 * speed * t)),
                 z0 + 0.05 * jnp.sin(0.4 * t),
+            ])
+    elif kind == "loop":
+        # closed ellipse circuit inside the corridor, starting/ending at
+        # the origin: after one lap (~64 m / `speed` seconds) the vehicle
+        # REVISITS its starting area, so end-to-end loop closure can fire
+        # (detect radius 5 m + age 30 s, lidar_mapping_node.cpp:1043-1112).
+        # Run >= 1.05 laps: e.g. 450 scans at speed 1.5.  loop_scale
+        # shrinks the circuit (tests use a small lap + reduced
+        # loop_time_gate to close a loop quickly on CPU).
+        a, b = 14.0 * loop_scale, 5.5 * loop_scale
+        # Ramanujan perimeter; omega scales so mean speed ~= `speed`
+        per = np.pi * (3.0 * (a + b)
+                       - np.sqrt((3.0 * a + b) * (a + 3.0 * b)))
+        om = 2.0 * np.pi * speed / per
+
+        def pos(t):
+            return jnp.stack([
+                a * (1.0 - jnp.cos(om * t)),
+                b * jnp.sin(om * t),
+                z0 + 0.05 * jnp.sin(0.3 * t),
             ])
     else:
         raise ValueError(kind)
@@ -256,7 +276,8 @@ def generate_sequence(cfg: SlamConfig, n_scans: int = 20, kind: str = "gentle",
                       speed: float = 1.0, world: World | None = None,
                       imu_rate: float = 400.0, ba=(0, 0, 0), bw=(0, 0, 0),
                       acc_noise: float = 0.0, gyr_noise: float = 0.0,
-                      distort: bool = True, seed: int = 0):
+                      distort: bool = True, seed: int = 0,
+                      loop_scale: float = 1.0):
     """Scans + IMU + ground-truth poses for n_scans sweeps from t=0.
 
     Returns a dict of host numpy arrays:
@@ -265,7 +286,7 @@ def generate_sequence(cfg: SlamConfig, n_scans: int = 20, kind: str = "gentle",
     """
     world = world or default_world()
     walls, poles = world.as_arrays()
-    pose_fn = make_trajectory(kind, speed)
+    pose_fn = make_trajectory(kind, speed, loop_scale=loop_scale)
 
     scans, counts = [], []
     for k in range(n_scans):

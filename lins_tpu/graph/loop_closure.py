@@ -53,27 +53,49 @@ def _umeyama(src, dst, w):
     return R, t
 
 
-def icp_align(src, src_valid, dst, dst_valid, iters: int = 25,
-              max_corr: float = 2.0):
+def icp_align(src, src_valid, dst, dst_valid, iters: int = 40,
+              max_corr: float = 25.0, final_corr: float = 1.0):
     """Point-to-point ICP: returns (R, t, fitness) aligning src onto dst.
+
+    Recovery envelope: the reference runs PCL ICP with a 100 m
+    correspondence gate and 100 iterations (lidar_mapping_node.cpp:
+    1127-1138) so it can pull back multi-meter drift at loop closure.
+    Round 2's 2 m / 25-iteration gate could not; here the gate follows a
+    COARSE-TO-FINE geometric schedule max_corr -> final_corr (wide early
+    iterations capture the gross offset — loop candidates are already
+    within the 5 m detection radius, so 25 m covers the reference's
+    practical envelope — and tight late iterations refine), with an early
+    exit once the update stalls at the finest gate.
 
     fitness = mean squared correspondence distance of the final iteration
     (PCL getFitnessScore equivalent, :1139-1141)."""
     dtype = src.dtype
+    decay = (final_corr / max_corr) ** (1.0 / max(iters - 1, 1))
 
-    def body(_, state):
-        R, t = state
+    def cond(state):
+        i, R, t, done = state
+        return (i < iters) & ~done
+
+    def body(state):
+        i, R, t, _ = state
+        corr = jnp.maximum(max_corr * decay ** i.astype(dtype), final_corr)
         moved = src @ R.T + t[None, :]
         idx, d2 = top_k_nn(moved, src_valid, dst, dst_valid, k=1)
         n1, d1 = idx[:, 0], d2[:, 0]
-        w = (src_valid & (d1 < max_corr * max_corr)
+        w = (src_valid & (d1 < corr * corr)
              & jnp.isfinite(d1)).astype(dtype)
         Rn, tn = _umeyama(src, dst[n1], w)
-        return Rn, tn
+        # transformation-epsilon convergence at the finest gate (the PCL
+        # setTransformationEpsilon equivalent)
+        dt = jnp.linalg.norm(tn - t)
+        dR = jnp.linalg.norm(Rn - R)
+        done = (corr <= final_corr * 1.001) & (dt < 1e-4) & (dR < 1e-5)
+        return i + 1, Rn, tn, done
 
     R0 = jnp.eye(3, dtype=dtype)
     t0 = jnp.zeros(3, dtype)
-    R, t = jax.lax.fori_loop(0, iters, body, (R0, t0))
+    _, R, t, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), R0, t0, jnp.bool_(False)))
 
     moved = src @ R.T + t[None, :]
     idx, d2 = top_k_nn(moved, src_valid, dst, dst_valid, k=1)
@@ -138,7 +160,9 @@ def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
         cloud_ds, cloud_ds_ok = voxel_downsample(cloud_w, cloud_ok,
                                                  cfg.map_surf_leaf, cloud_cap)
 
-        R, t, fitness = icp_align(cloud_ds, cloud_ds_ok, submap, submap_ok)
+        R, t, fitness = icp_align(cloud_ds, cloud_ds_ok, submap, submap_ok,
+                                  iters=cfg.loop_icp_iters,
+                                  max_corr=cfg.loop_icp_max_corr)
 
         # corrected current pose: T_corr = (R, t) ∘ T_cur
         q_icp = so3.mat_to_quat(R)

@@ -35,7 +35,39 @@ class TestTrajectoryIO:
         gt = np.cumsum(np.ones((30, 3)) * 0.1, axis=0)
         est = gt + np.linspace(0, 0.3, 30)[:, None] * [1, 0, 0]  # drift
         assert traj.rpe(est, gt, delta=5) > 0.01
-        assert traj.rpe(gt, gt, delta=5) == 0.0
+        assert traj.rpe(gt, gt, delta=5) < 1e-12
+
+    def test_rpe_world_frame_invariant(self):
+        """A perfect estimate expressed in a rotated/translated world frame
+        must score ~0 RPE — both with orientations (TUM local-frame
+        definition) and without (aligned fallback).  Round 2's raw
+        world-frame comparison scored it sin(yaw) x window displacement."""
+        rng = np.random.default_rng(3)
+        gt = np.cumsum(rng.normal(scale=0.15, size=(60, 3)), axis=0)
+        th = 0.15  # the gentle trajectory's ~8.5 deg initial-yaw offset
+        R = np.asarray([[np.cos(th), -np.sin(th), 0],
+                        [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        est = gt @ R.T + [2.0, -1.0, 0.5]
+        # without orientations: aligned fallback
+        assert traj.rpe(est, gt, delta=10) < 1e-9
+        # with orientations: gt yaw follows velocity; est = frame-rotated
+        def yaw_quats(pos, R_extra=np.eye(3)):
+            v = np.gradient(pos, axis=0)
+            yaw = np.arctan2(v[:, 1], v[:, 0])
+            q = np.stack([np.cos(yaw / 2), 0 * yaw, 0 * yaw,
+                          np.sin(yaw / 2)], 1)
+            return q
+        qg = yaw_quats(gt)
+        # est orientation = world-rotation ∘ gt orientation
+        half = th / 2
+        q_off = np.asarray([np.cos(half), 0, 0, np.sin(half)])
+        def qmul(a, b):
+            w = a[:, 0] * b[:, 0] - np.sum(a[:, 1:] * b[:, 1:], 1)
+            xyz = (a[:, :1] * b[:, 1:] + b[:, :1] * a[:, 1:]
+                   + np.cross(a[:, 1:], b[:, 1:]))
+            return np.concatenate([w[:, None], xyz], 1)
+        qe = qmul(np.broadcast_to(q_off, qg.shape).copy(), qg)
+        assert traj.rpe(est, gt, delta=10, est_quat=qe, gt_quat=qg) < 1e-6
 
     def test_associate(self):
         ta = np.asarray([0.0, 0.1, 0.2, 0.35])
