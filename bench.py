@@ -137,6 +137,8 @@ def bench_slam(cfg, data, K=32, n_chunks=3, warmup=6):
 
 
 def main():
+    import sys
+
     import jax
 
     from lins_tpu.utils.compile_cache import enable_compilation_cache
@@ -150,6 +152,10 @@ def main():
     # Mosaic label kernel (1.5 ms vs ~5 ms XLA label propagation) on TPU;
     # interpret-mode Pallas is too slow for a CPU bench run
     cfg = VLP16.replace(max_points=28800, use_pallas=on_tpu)
+    if "--pallas-assoc" in sys.argv:
+        # fused Mosaic scan-to-scan association kernels (ops/pallas_assoc)
+        # instead of the XLA masked-argmin path — A/B for PARITY.md
+        cfg = cfg.replace(use_pallas_assoc=on_tpu)
     K = 32
     n_chunks = 3
     warmup = 6

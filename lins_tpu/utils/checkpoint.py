@@ -4,7 +4,14 @@ keeps keyframe clouds only in process memory, lidar_mapping_node.cpp:113-115).
 Serializes the full engine state — estimator pytrees, keyframe store, pose
 graph — to a single .npz at keyframe cadence; resume reloads and continues.
 This is also the basis for long-run elasticity and the global-map export
-(C24: the saved store IS the map)."""
+(C24: the saved store IS the map).
+
+Affordability: the mapper's LOCAL MAP (cached voxel grids + per-slot
+deltas, ~200 MB of derived arrays at VLP-16 scale) is NOT serialized — it
+is a pure function of the keyframe store and is rebuilt on load
+(LinsMapper.rebuild_local_map), and the archive is written UNCOMPRESSED
+(zlib at ~10 MB/s was the round-2 "minutes per save"; the padded-cloud
+store is ~50 MB, I/O-bound in well under a second)."""
 from __future__ import annotations
 
 import numpy as np
@@ -34,7 +41,8 @@ def save_state(path: str, odometry=None, mapper=None, extra=None):
             _flatten(odometry.last_surf, "last_surf", out)
             _flatten(odometry.last_corner, "last_corner", out)
     if mapper is not None:
-        _flatten(mapper.state, "mapper_state", out)
+        # lmap is derived state (rebuildable from the store): skip it
+        _flatten(mapper.state._replace(lmap=None), "mapper_state", out)
         meta["mapper"] = dict(last_time=mapper.last_time,
                               last_loop_time=mapper.last_loop_time)
     if extra:
@@ -43,7 +51,7 @@ def save_state(path: str, odometry=None, mapper=None, extra=None):
     import json
 
     out["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **out)
+    np.savez(path, **out)
 
 
 def _unflatten(data, prefix, template):
@@ -87,9 +95,13 @@ def load_state(path: str, odometry=None, mapper=None):
             odometry.last_corner = _unflatten(data, "last_corner",
                                               odometry.last_corner)
     if mapper is not None and "mapper_state/__len__" in data:
-        mapper.state = _unflatten(data, "mapper_state", mapper.state)
+        lmap = mapper.state.lmap
+        loaded = _unflatten(data, "mapper_state",
+                            mapper.state._replace(lmap=None))
+        mapper.state = loaded._replace(lmap=lmap)
         mapper.last_time = meta["mapper"]["last_time"]
         mapper.last_loop_time = meta["mapper"]["last_loop_time"]
+        mapper.rebuild_local_map()
     return meta
 
 

@@ -22,7 +22,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--synthetic", metavar="KIND",
-                     help="synthetic trajectory: static|straight|gentle|turny")
+                     help="synthetic trajectory: static|straight|gentle|"
+                          "turny|loop (loop: closed revisiting circuit)")
     src.add_argument("--bag", help="rosbag 2.0 file (uncompressed chunks)")
     src.add_argument("--kitti", help="KITTI odometry root directory")
     ap.add_argument("--seq", default="00", help="KITTI sequence id")
@@ -46,14 +47,30 @@ def main():
                     choices=("npz", "ply", "none"),
                     help="global map export format (none: skip)")
     ap.add_argument("--no-state", action="store_true",
-                    help="skip the final_state.npz dump (the compressed "
-                         "full-store npz costs minutes at VLP-16 scale)")
-    ap.add_argument("--chunk", type=int, default=24,
+                    help="skip the final_state.npz dump (saves are "
+                         "uncompressed + derived-state-free, ~seconds at "
+                         "VLP-16 scale; this skips even that)")
+    def positive_int(v):
+        iv = int(v)
+        if iv < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return iv
+
+    ap.add_argument("--chunk", type=positive_int, default=24,
                     help="scans per device dispatch in replay mode")
+    ap.add_argument("--imu-noise", action="store_true",
+                    help="synthetic only: add IMU noise + fixed biases "
+                         "(acc 0.02 m/s^2, gyr 0.002 rad/s) so odometry "
+                         "drifts realistically")
     ap.add_argument("--stream", action="store_true",
                     help="per-scan streaming mode (default: chunked replay "
                          "with HBM prefetch — same odometry, much faster on "
                          "remote-attached TPUs)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="enroll this process in a multi-host JAX cluster "
+                         "via jax.distributed (JAX_COORDINATOR / "
+                         "JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars; see "
+                         "lins_tpu.parallel.multihost)")
     args = ap.parse_args()
 
     import numpy as np
@@ -66,6 +83,15 @@ def main():
     from lins_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.multihost:
+        from lins_tpu.parallel import multihost
+        import jax
+        enrolled = multihost.initialize()
+        print(json.dumps(dict(
+            multihost=enrolled, process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            global_devices=len(jax.devices()))))
 
     cfg = PRESETS[args.preset]
     if args.config:
@@ -82,8 +108,12 @@ def main():
     if args.synthetic:
         from lins_tpu.datasets import synthetic as syn
         cfg = cfg.replace(max_points=min(cfg.max_points, cfg.grid_size))
+        noise = (dict(acc_noise=0.02, gyr_noise=0.002,
+                      ba=(0.05, -0.03, 0.02), bw=(0.002, -0.001, 0.0015))
+                 if args.imu_noise else {})
         data = syn.generate_sequence(cfg, n_scans=args.scans or 40,
-                                     kind=args.synthetic, speed=args.speed)
+                                     kind=args.synthetic, speed=args.speed,
+                                     **noise)
     elif args.bag:
         from lins_tpu.datasets import bag as bagmod
         raw = bagmod.read_bag(args.bag, args.imu_topic, args.cloud_topic)
@@ -157,8 +187,10 @@ def main():
     )
     if "gt_pos" in data:
         gt = np.asarray(data["gt_pos"])[1:1 + len(ps)]
+        gt_q = np.asarray(data["gt_quat"])[1:1 + len(ps)]
         summary["ate_rmse_m"] = round(traj.ate(ps, gt, align=True), 4)
-        summary["rpe_m"] = round(traj.rpe(ps, gt), 4)
+        summary["rpe_m"] = round(traj.rpe(ps, gt, est_quat=qs,
+                                          gt_quat=gt_q), 4)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
