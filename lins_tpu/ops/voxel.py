@@ -48,8 +48,12 @@ def voxel_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     h1 = jnp.where(mask, hash3(v), jnp.iinfo(jnp.int32).max)
     h2 = jnp.where(mask, hash3(v, seed=0x51ED), jnp.iinfo(jnp.int32).max)
 
-    hs, h2s, xs0, xs1, xs2, ms = jax.lax.sort(
-        (h1, h2, xyz[:, 0], xyz[:, 1], xyz[:, 2], mask), num_keys=2)
+    # mask is NOT carried through the sort: invalid rows have h1 == INT_MAX
+    # (a valid point hashing to INT_MAX is dropped from its voxel mean —
+    # 2^-32 per point, the same class as the h1/h2 voxel-identity collision)
+    hs, h2s, xs0, xs1, xs2 = jax.lax.sort(
+        (h1, h2, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=2)
+    ms = hs != jnp.iinfo(jnp.int32).max
     xs = jnp.stack([xs0, xs1, xs2], axis=1)
 
     start = jnp.concatenate([
@@ -67,11 +71,16 @@ def voxel_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     n_run = cn[next_pos] - cn[jnp.arange(N)]
     cent = (cx[next_pos] - cx[jnp.arange(N)]) / jnp.maximum(n_run, 1)[:, None]
 
-    # compact run-start centroids to the front
-    key = jnp.where(start, jnp.arange(N, dtype=jnp.int32), N)
-    order2 = jnp.argsort(key)[:cap]
-    return (jnp.where(start[order2][:, None], cent[order2], 0.0),
-            start[order2])
+    # compact run-start centroids to the front: scatter by cumsum rank
+    # (order identical to the old argsort-by-index compaction at ~half the
+    # cost — a second full sort just to stable-partition the start flags)
+    m = min(N, cap)    # output rows: the old argsort[:cap] truncated to N
+    rank = jnp.cumsum(start.astype(jnp.int32)) - 1
+    dest = jnp.where(start & (rank < m), rank, m)
+    out = jnp.zeros((m + 1, 3), xs.dtype).at[dest].set(
+        jnp.where(start[:, None], cent, 0.0), mode="drop")[:m]
+    ok = jnp.zeros((m + 1,), bool).at[dest].set(start, mode="drop")[:m]
+    return out, ok
 
 
 def top_k_nn(query: jnp.ndarray, q_valid: jnp.ndarray, ref: jnp.ndarray,

@@ -173,8 +173,10 @@ def main():
                 os.path.join(args.out, f"global_map.{args.map_format}"),
                 slam.mapper)
         if not args.no_state:
+            t_s = time.perf_counter()
             ckpt.save_state(os.path.join(args.out, "final_state.npz"),
                             slam.odometry, slam.mapper)
+            state_save_s = round(time.perf_counter() - t_s, 2)
     log.dump(os.path.join(args.out, "metrics.jsonl"))
 
     summary = dict(
@@ -185,6 +187,8 @@ def main():
                    if slam.mapper else None),
         loops=(int(slam.mapper.state.n_loops) if slam.mapper else None),
     )
+    if slam.mapper is not None and not args.no_state:
+        summary["state_save_s"] = state_save_s
     if "gt_pos" in data:
         gt = np.asarray(data["gt_pos"])[1:1 + len(ps)]
         gt_q = np.asarray(data["gt_quat"])[1:1 + len(ps)]
