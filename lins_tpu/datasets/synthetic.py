@@ -91,10 +91,16 @@ def make_trajectory(kind: str = "gentle", speed: float = 1.0,
                 z0 + 0.05 * jnp.sin(0.3 * t),
             ])
     elif kind == "turny":
+        # y amplitude 3.5 (max 7 m) keeps the arc INSIDE the default
+        # corridor's y = +-8 walls: the round-2 version (amplitude 6,
+        # y up to 12) drove through the left wall and out of the raycast
+        # world for the last ~20% of a 13 s run — those out-of-world scans
+        # carried 11x the per-scan odometry error and were the entire
+        # "turny is 10x worse than gentle" gap (round-3 diagnosis).
         def pos(t):
             return jnp.stack([
                 8.0 * jnp.sin(0.12 * speed * t),
-                6.0 * (1 - jnp.cos(0.12 * speed * t)),
+                3.5 * (1 - jnp.cos(0.12 * speed * t)),
                 z0 + 0.05 * jnp.sin(0.4 * t),
             ])
     elif kind == "loop":

@@ -181,3 +181,28 @@ class TestFeatures:
         xyz2 = scan0[0] * 1.001
         out2 = fe(xyz2, scan0[1])
         assert int(out2[2].sharp.valid.sum()) > 0
+
+
+class TestTrajectoryWorldConsistency:
+    def test_standard_trajectories_stay_inside_world(self):
+        """Regression guard for the round-2 turny artifact: the trajectory
+        drove through the corridor's y=8 wall and out of the raycast world
+        for the last ~20% of a 13 s run, and those out-of-world scans
+        carried 11x the per-scan odometry error — the entire 'turny is 10x
+        worse than gentle' accuracy gap.  Every standard benchmark
+        trajectory must stay inside the default world with >= 1 m of wall
+        clearance for its benchmark horizon."""
+        import jax
+        import jax.numpy as jnp
+
+        from lins_tpu.datasets import synthetic as syn
+
+        horizons = {"gentle": (1.5, 13.3), "turny": (1.5, 13.3),
+                    "straight": (1.5, 13.3), "loop": (1.5, 45.0)}
+        for kind, (speed, t_end) in horizons.items():
+            pose_fn = syn.make_trajectory(kind, speed)
+            ts = jnp.linspace(0.0, t_end, 400)
+            p = np.asarray(jax.vmap(pose_fn)(ts)[0])
+            assert p[:, 0].min() > -9.0 and p[:, 0].max() < 39.0, kind
+            assert np.abs(p[:, 1]).max() < 7.01, (kind, p[:, 1].max())
+            assert p[:, 2].min() > 0.2, kind
