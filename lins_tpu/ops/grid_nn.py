@@ -211,8 +211,7 @@ def _neighborhood(query: jnp.ndarray, grid: HashGrid):
 
 def gather_candidates(query: jnp.ndarray, q_valid: jnp.ndarray,
                       grid: HashGrid, C: int):
-    """ONE-SHOT candidate gather + prune: the C nearest grid points of each
-    query within its neighborhood block, as a compact (Q, C, 3) array.
+    """ONE-SHOT candidate gather + prune to a compact (Q, C, 3) cache.
 
     This is the expensive half of the 5-NN (the (Q, nb, cap) HBM gather is
     DMA-descriptor-bound); the scan-to-map GN runs it once per mapping step
@@ -224,8 +223,8 @@ def gather_candidates(query: jnp.ndarray, q_valid: jnp.ndarray,
         1 m acceptance ball is still covered while d <= cover - 1.
       * prune bound: the C-th candidate distance d2C bounds what pruning
         can hide; every point within 1 m of the moved query is still in the
-        kept set while d <= sqrt(d2C) - 1  (d2C = +inf when the block held
-        fewer than C points, i.e. nothing was pruned).
+        kept set while d <= sqrt(d2C) - 1  (d2C = +inf when nothing within
+        the coverage ball was pruned).
 
     Returns (cand (Q,C,3), cand_ok (Q,C), d2C (Q,), cover (Q,)).
     """
@@ -234,6 +233,7 @@ def gather_candidates(query: jnp.ndarray, q_valid: jnp.ndarray,
     nbc, cover = _neighborhood(query, grid)
     bb = _bucket_of(nbc, grid.table)                            # (Q, nb)
     n_off = bb.shape[1]
+    B = n_off * cap
     # mask duplicate buckets (two neighbor cells hashing together would
     # contribute the same candidates twice)
     tri = np.tril(np.ones((n_off, n_off), bool), -1)
@@ -245,17 +245,55 @@ def gather_candidates(query: jnp.ndarray, q_valid: jnp.ndarray,
           ) & ~dup[:, :, None]
     diff = cand - query[:, None, :, None]
     d2 = jnp.sum(diff * diff, axis=2)
-    d2 = jnp.where(ok, d2, jnp.inf).reshape(Q, n_off * cap)
+    d2 = jnp.where(ok, d2, jnp.inf).reshape(Q, B)
     d2 = jnp.where(q_valid[:, None], d2, jnp.inf)
+    flat_c = cand.transpose(0, 2, 1, 3).reshape(Q, 3, B)
 
-    neg_d, sel = jax.lax.top_k(-d2, C)
-    d2k = -neg_d                                               # (Q, C) asc
-    flat_c = cand.transpose(0, 2, 1, 3).reshape(Q, 3, n_off * cap)
-    out = jnp.stack([jnp.take_along_axis(flat_c[:, i, :], sel, axis=1)
-                     for i in range(3)], axis=-1)              # (Q, C, 3)
+    # nearest-C prune as ONE variadic sort carrying the coordinates, then a
+    # static slice — measured 11.0 ms vs 13.3 ms for lax.top_k +
+    # 3x take_along_axis at (6144, 1728) on v5e (the takes alone cost
+    # 5.2 ms; the d2-only top_k 4.6 ms over the 3.5 ms gather floor)
+    d2s, xs, ys, zs = jax.lax.sort(
+        (d2, flat_c[:, 0], flat_c[:, 1], flat_c[:, 2]), dimension=1,
+        num_keys=1)
+    d2k = d2s[:, :C]                                           # (Q, C) asc
+    out = jnp.stack([xs[:, :C], ys[:, :C], zs[:, :C]], axis=-1)
     cand_ok = jnp.isfinite(d2k)
     out = jnp.where(cand_ok[:, :, None], out, query[:, None, :])
     return out, cand_ok, d2k[:, -1], cover
+
+
+def gather_block(query: jnp.ndarray, q_valid: jnp.ndarray, grid: HashGrid):
+    """FULL-neighborhood candidate cache: every grid point in each query's
+    neighborhood block, as (Q, nb*cap, 3) + validity — no top-k compaction,
+    no prune bound.
+
+    Production scan-to-map path (round 3): keeping the whole block costs
+    HBM capacity (~130 MB at VLP-16 surf sizes) but removes the two
+    dominant costs of the pruned cache (`gather_candidates`): the
+    (Q, nb*cap) -> C lax.top_k sort at gather time, and the d2C prune-bound
+    re-gathers inside the GN loop — with the full block only the geometric
+    coverage bound remains, and its slack (>= 0.15 m by grid construction)
+    exceeds any warm-started GN's total pose motion, so the gather runs
+    ONCE per mapping step in practice.  Per-iteration re-ranking
+    (knn_from_candidates) is dense vector math over the block.
+
+    Returns (cand (Q, nb*cap, 3), ok (Q, nb*cap), cover (Q,)).
+    """
+    cap = grid.cap
+    nbc, cover = _neighborhood(query, grid)
+    bb = _bucket_of(nbc, grid.table)                            # (Q, nb)
+    n_off = bb.shape[1]
+    tri = np.tril(np.ones((n_off, n_off), bool), -1)
+    dup = jnp.any((bb[:, :, None] == bb[:, None, :]) & tri[None], axis=-1)
+
+    cand = grid.cells[bb]                  # (Q, nb, 3, cap) wide-row gather
+    n_in = grid.cnt[bb]
+    ok = (jnp.arange(cap, dtype=jnp.int32)[None, None, :] < n_in[:, :, None]
+          ) & ~dup[:, :, None] & q_valid[:, None, None]
+    Q = query.shape[0]
+    cand = cand.transpose(0, 1, 3, 2).reshape(Q, n_off * cap, 3)
+    return cand, ok.reshape(Q, n_off * cap), cover
 
 
 def knn_from_candidates(p_w: jnp.ndarray, q_valid: jnp.ndarray,
@@ -263,22 +301,25 @@ def knn_from_candidates(p_w: jnp.ndarray, q_valid: jnp.ndarray,
     """k nearest of each query's CACHED candidate set (gather_candidates)
     at the current pose — per-GN-iteration re-ranking, all dense math.
 
-    k argmin passes beat lax.top_k here (C is small) and the select masks
-    fuse.  Returns (nn (Q,k,3), d2 (Q,k)); exhausted slots get +inf
-    distance and the query point itself as nn."""
-    C = cand.shape[1]
+    Selection is k min+one-hot-contraction passes: the selected point is
+    recovered as `first_hit @ cand` (a batched matvec) instead of
+    take_along_axis — argmin+gather rounds measured 3.2 ms per call at
+    (6144, 64) on v5e (the whole GN loop's dominant cost, paid every
+    iteration); the gather-free form is pure VPU/MXU work and fuses.
+    Returns (nn (Q,k,3), d2 (Q,k)); exhausted slots get +inf distance and
+    the query point itself as nn."""
     d2 = jnp.sum((cand - p_w[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(cand_ok & q_valid[:, None], d2, jnp.inf)
-    cols = jnp.arange(C, dtype=jnp.int32)[None]
-    nns, ds = [], []
+    sels, ds = [], []
     for _ in range(k):
-        i = jnp.argmin(d2, axis=1)
-        ds.append(jnp.take_along_axis(d2, i[:, None], axis=1)[:, 0])
-        nns.append(jnp.take_along_axis(
-            cand, jnp.broadcast_to(i[:, None, None],
-                                   (cand.shape[0], 1, 3)), axis=1)[:, 0])
-        d2 = jnp.where(cols == i[:, None], jnp.inf, d2)
-    nn = jnp.stack(nns, axis=1)
+        m = jnp.min(d2, axis=1)
+        hit = (d2 <= m[:, None]) & jnp.isfinite(d2)
+        first = hit & (jnp.cumsum(hit.astype(jnp.int32), axis=1) == 1)
+        sels.append(first.astype(cand.dtype))
+        ds.append(m)
+        d2 = jnp.where(first, jnp.inf, d2)
+    # one batched (k, C) @ (C, 3) contraction recovers all k points
+    nn = jnp.einsum("qkc,qci->qki", jnp.stack(sels, axis=1), cand)
     d2k = jnp.stack(ds, axis=1)
     nn = jnp.where(jnp.isfinite(d2k)[:, :, None], nn, p_w[:, None, :])
     return nn, d2k
