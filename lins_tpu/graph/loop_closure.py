@@ -39,12 +39,21 @@ def detect_loop(store: kf.KeyframeStore, cur: jnp.ndarray, cur_time,
     return store.kf_id[slot].astype(jnp.int32), found
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _umeyama(src, dst, w):
-    """Weighted rigid alignment src->dst (closed form, no scaling)."""
+    """Weighted rigid alignment src->dst (closed form, no scaling).
+
+    precision=HIGHEST on the cross-covariance and point rotations: TPU f32
+    matmuls default to bf16 passes, which at tens-of-meters coordinates
+    puts ~0.1 m of noise on rotated positions and percent-level error on S
+    — enough to degrade the ICP alignment the loop edges are built from."""
     wsum = jnp.maximum(jnp.sum(w), 1e-9)
     mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
     mu_d = jnp.sum(dst * w[:, None], axis=0) / wsum
-    S = ((dst - mu_d) * w[:, None]).T @ (src - mu_s) / wsum
+    S = jnp.matmul(((dst - mu_d) * w[:, None]).T, src - mu_s,
+                   precision=_HI) / wsum
     U, _, Vt = jnp.linalg.svd(S)
     det = jnp.linalg.det(U @ Vt)
     D = jnp.diag(jnp.asarray([1.0, 1.0, jnp.sign(det)], src.dtype))
@@ -79,7 +88,7 @@ def icp_align(src, src_valid, dst, dst_valid, iters: int = 40,
     def body(state):
         i, R, t, _ = state
         corr = jnp.maximum(max_corr * decay ** i.astype(dtype), final_corr)
-        moved = src @ R.T + t[None, :]
+        moved = jnp.matmul(src, R.T, precision=_HI) + t[None, :]
         idx, d2 = top_k_nn(moved, src_valid, dst, dst_valid, k=1)
         n1, d1 = idx[:, 0], d2[:, 0]
         w = (src_valid & (d1 < corr * corr)
@@ -97,7 +106,7 @@ def icp_align(src, src_valid, dst, dst_valid, iters: int = 40,
     _, R, t, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), R0, t0, jnp.bool_(False)))
 
-    moved = src @ R.T + t[None, :]
+    moved = jnp.matmul(src, R.T, precision=_HI) + t[None, :]
     idx, d2 = top_k_nn(moved, src_valid, dst, dst_valid, k=1)
     ok = src_valid & jnp.isfinite(d2[:, 0])
     fitness = (jnp.sum(jnp.where(ok, d2[:, 0], 0.0))

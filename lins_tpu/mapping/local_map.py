@@ -136,8 +136,7 @@ class LocalMapState(NamedTuple):
 
 def _empty_delta(n: int, dtype) -> VoxDelta:
     return VoxDelta(bucket=jnp.zeros((n,), jnp.int32),
-                    lid=jnp.zeros((n,), jnp.int32),
-                    h2=jnp.zeros((n,), jnp.int32),
+                    vox=jnp.zeros((n, 3), jnp.int32),
                     psum=jnp.zeros((n, 3), dtype),
                     cnt=jnp.zeros((n,), jnp.int32),
                     ok=jnp.zeros((n,), bool))

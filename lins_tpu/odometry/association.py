@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from lins_tpu.geom import so3
@@ -49,10 +50,16 @@ def transform_to_end(pts, rel_time, rn, qbn):
 
 
 def _pairwise_sq_dist(a, b):
-    """(Q,3),(R,3) -> (Q,R) squared distances via one MXU contraction."""
+    """(Q,3),(R,3) -> (Q,R) squared distances via one MXU contraction.
+
+    precision=HIGHEST is load-bearing: TPU f32 matmuls default to bf16
+    passes, and with |p|^2 ~ 10^3 m^2 the bf16 relative error puts multiple
+    m^2 of noise on d^2 — enough to pick wrong nearest neighbors (measured
+    up to 2.3 m^2 at map scales).  HIGHEST runs the 6-pass bf16 expansion,
+    restoring ~f32 accuracy at trivial cost for 3-deep contractions."""
     aa = jnp.sum(a * a, axis=-1, keepdims=True)
     bb = jnp.sum(b * b, axis=-1)
-    ab = a @ b.T
+    ab = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(aa + bb[None, :] - 2.0 * ab, 0.0)
 
 

@@ -112,17 +112,19 @@ def build_grid_voxelized(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
     straddle cell boundaries (the centroid set is identical to running PCL's
     filter then binning).  `m` must satisfy leaf*m >= 1.0 (nb=27) or >= 2.0
     (nb=8 supercells) for the 1 m NN acceptance-gate coverage argument.
-    Voxel identity inside the sort is (bucket*m^3 + lid, full-voxel mixed
-    hash) as a 2-key composite — two distinct voxels merge into a corrupt
-    centroid only on a simultaneous (bucket, lid) + 32-bit hash collision.
+    Voxel identity inside the sort is (bucket*m^3 + lid) + the EXACT integer
+    voxel coordinates as three further sort keys — two distinct voxels can
+    never merge.  (Round 2 used a secondary 32-bit hash: same-key pairs —
+    two cells sharing a bucket with matching in-cell ids — are common
+    enough at map scales that single hash collisions produced corrupt
+    merged centroids, ~1 per 6e4-point build.)
 
     Returns (HashGrid, n_voxels) — n_voxels the exact voxel-centroid count
     (the `sum(map_valid)` equivalent for sufficiency checks).
     """
-    from lins_tpu.ops.voxel import hash3
-
     R = pts.shape[0]
     m3 = m * m * m
+    imax = jnp.iinfo(jnp.int32).max
     vox = jnp.floor(pts / leaf).astype(jnp.int32)
     cellv = jnp.floor_divide(vox, m)
     bucket = _bucket_of(cellv, table)
@@ -130,17 +132,18 @@ def build_grid_voxelized(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
     lid = (lv[:, 0] * m + lv[:, 1]) * m + lv[:, 2]
     sentinel = table * m3
     key = jnp.where(valid, bucket * m3 + lid, sentinel).astype(jnp.int32)
-    h2 = jnp.where(valid, hash3(vox, seed=0x9D7),
-                   jnp.iinfo(jnp.int32).max).astype(jnp.int32)
+    wv = jnp.where(valid[:, None], vox, imax)
 
-    key_s, h2_s, xs, ys, zs = jax.lax.sort(
-        (key, h2, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=2)
+    key_s, v0, v1, v2, xs, ys, zs = jax.lax.sort(
+        (key, wv[:, 0], wv[:, 1], wv[:, 2],
+         pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=4)
     vmask = key_s < sentinel                                   # valid rows
 
     ar = jnp.arange(R, dtype=jnp.int32)
     vstart = jnp.concatenate([
         jnp.ones((1,), bool),
-        (key_s[1:] != key_s[:-1]) | (h2_s[1:] != h2_s[:-1])]) & vmask
+        (key_s[1:] != key_s[:-1]) | (v0[1:] != v0[:-1])
+        | (v1[1:] != v1[:-1]) | (v2[1:] != v2[:-1])]) & vmask
 
     # voxel-run centroids via cumulative sums (cf. ops/voxel.py)
     def runsum(c):

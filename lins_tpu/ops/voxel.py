@@ -34,10 +34,11 @@ def voxel_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float,
                      cap: int | None = None):
     """Downsample a masked (N,3) cloud to voxel centroids.
 
-    Voxel identity is a PAIR of independent 32-bit hashes sorted as a
-    composite key — two distinct voxels merge only on a 64-bit collision
-    (the single-int32 identity of round 1 merged ~n^2/2^33 voxel pairs per
-    call, and worse: its XOR structure collided for symmetric coords).
+    Voxel identity is the EXACT integer voxel coordinate triple, carried as
+    three sort keys — no hash ever merges two distinct voxels.  (Round 2
+    used a pair of 32-bit hashes; same-key pairs are common enough at map
+    scales that a single secondary-hash collision merged two far-apart
+    voxels into one corrupt centroid — observed ~1 per 6e4-point build.)
 
     Returns (xyz (cap,3), valid (cap,)) with centroids compacted to the
     front; cap defaults to N.
@@ -45,20 +46,22 @@ def voxel_downsample(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     N = xyz.shape[0]
     cap = cap or N
     v = jnp.floor(xyz / leaf).astype(jnp.int32)
-    h1 = jnp.where(mask, hash3(v), jnp.iinfo(jnp.int32).max)
-    h2 = jnp.where(mask, hash3(v, seed=0x51ED), jnp.iinfo(jnp.int32).max)
+    imax = jnp.iinfo(jnp.int32).max
+    vx = jnp.where(mask, v[:, 0], imax)
+    vy = jnp.where(mask, v[:, 1], imax)
+    vz = jnp.where(mask, v[:, 2], imax)
 
-    # mask is NOT carried through the sort: invalid rows have h1 == INT_MAX
-    # (a valid point hashing to INT_MAX is dropped from its voxel mean —
-    # 2^-32 per point, the same class as the h1/h2 voxel-identity collision)
-    hs, h2s, xs0, xs1, xs2 = jax.lax.sort(
-        (h1, h2, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=2)
-    ms = hs != jnp.iinfo(jnp.int32).max
+    # mask is NOT carried through the sort: invalid rows have vx == INT_MAX
+    # (real voxel coords never reach INT_MAX at any physical scale)
+    k0, k1, k2, xs0, xs1, xs2 = jax.lax.sort(
+        (vx, vy, vz, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=3)
+    ms = k0 != imax
     xs = jnp.stack([xs0, xs1, xs2], axis=1)
 
     start = jnp.concatenate([
         jnp.asarray([True]),
-        (hs[1:] != hs[:-1]) | (h2s[1:] != h2s[:-1])]) & ms
+        (k0[1:] != k0[:-1]) | (k1[1:] != k1[:-1])
+        | (k2[1:] != k2[:-1])]) & ms
     cx = jnp.concatenate([jnp.zeros((1, 3), xs.dtype), jnp.cumsum(
         jnp.where(ms[:, None], xs, 0.0), axis=0)])
     cn = jnp.concatenate([jnp.zeros((1,), jnp.int32),
@@ -105,7 +108,11 @@ def top_k_nn(query: jnp.ndarray, q_valid: jnp.ndarray, ref: jnp.ndarray,
         best_d, best_i = carry
         r = jax.lax.dynamic_slice_in_dim(ref_p, c * chunk, chunk)
         rv = jax.lax.dynamic_slice_in_dim(rv_p, c * chunk, chunk)
-        d2 = qq + jnp.sum(r * r, axis=-1)[None, :] - 2.0 * (query @ r.T)
+        # precision=HIGHEST: TPU f32 matmuls default to bf16 passes, which
+        # at |p|^2 ~ 10^3 m^2 puts multiple m^2 of error on d^2 (wrong NN)
+        d2 = (qq + jnp.sum(r * r, axis=-1)[None, :]
+              - 2.0 * jnp.matmul(query, r.T,
+                                 precision=jax.lax.Precision.HIGHEST))
         d2 = jnp.where(rv[None, :], jnp.maximum(d2, 0.0), jnp.inf)
         idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
         cat_d = jnp.concatenate([best_d, d2], axis=1)

@@ -28,9 +28,13 @@ over many updates, so the mapper triggers a full compaction rebuild
 keyframes or when an allocation overflows a cell — amortized to ~1/64 of the
 old per-step cost.
 
-Voxel identity is (cell bucket, in-cell voxel id, full-coordinate mixed
-hash) exactly as in ops/grid_nn.build_grid_voxelized — two distinct voxels
-merge only on a simultaneous bucket+lid and 32-bit hash collision.
+Voxel identity is the EXACT integer voxel coordinate triple, both inside
+the build sort (three extra int32 keys) and in the per-slot identity store
+(`vcoord`) — two distinct voxels can never merge.  (An earlier design used
+a 32-bit secondary hash; same-key pairs — two cells sharing a hash bucket
+with matching in-cell ids — are common enough at map scales that single
+hash collisions produced corrupt merged centroids, ~1 per 6·10⁴-point
+build, each poisoning the 5-NN fits around it.)
 """
 from __future__ import annotations
 
@@ -41,13 +45,13 @@ import jax
 import jax.numpy as jnp
 
 from lins_tpu.ops.grid_nn import HashGrid, _bucket_of
-from lins_tpu.ops.voxel import hash3
 
 # far-away parking spot for dead/never-used slots: distances to it are
 # ~1e18 (finite in f32) so top-k ranks real candidates first and the 1 m
 # acceptance gate rejects it if it ever surfaces
 SENTINEL = 1.0e9
-_H2SEED = 0x9D7   # must match grid_nn.build_grid_voxelized's voxel hash
+# identity sentinel for never-used slots (no physical voxel coordinate)
+_VFREE = jnp.iinfo(jnp.int32).min
 
 
 @jax.tree_util.register_dataclass
@@ -55,8 +59,7 @@ _H2SEED = 0x9D7   # must match grid_nn.build_grid_voxelized's voxel hash
 class VoxelMap:
     cells: jnp.ndarray   # (table, 3, cap) centroids; dead slots = SENTINEL
     hwm: jnp.ndarray     # (table,) int32 per-bucket high-water mark
-    vkey: jnp.ndarray    # (table, cap) int32 in-cell voxel lid, -1 unused
-    vhash: jnp.ndarray   # (table, cap) int32 full-voxel mixed hash
+    vcoord: jnp.ndarray  # (table, 3, cap) int32 voxel coords, _VFREE unused
     vsum: jnp.ndarray    # (table, 3, cap) running point sums
     vcnt: jnp.ndarray    # (table, cap) int32 running point counts (0=dead)
     n_live: jnp.ndarray  # () int32 live-voxel count
@@ -80,8 +83,7 @@ class VoxDelta(NamedTuple):
     """One scan's voxelized contribution, sorted by (bucket, lid): run-start
     rows (`ok`) carry the per-voxel point sum and count."""
     bucket: jnp.ndarray  # (N,) int32 cell bucket (table = invalid sentinel)
-    lid: jnp.ndarray     # (N,) int32 voxel id within its cell, in [0, m^3)
-    h2: jnp.ndarray      # (N,) int32 full-voxel mixed hash
+    vox: jnp.ndarray     # (N, 3) int32 exact voxel coords
     psum: jnp.ndarray    # (N, 3) point-coordinate sum over the voxel run
     cnt: jnp.ndarray     # (N,) int32 points in the voxel run
     ok: jnp.ndarray      # (N,) bool: valid voxel-run start
@@ -92,13 +94,30 @@ def empty_voxel_map(leaf: float, m: int, table: int, cap: int,
     return VoxelMap(
         cells=jnp.full((table, 3, cap), SENTINEL, dtype),
         hwm=jnp.zeros((table,), jnp.int32),
-        vkey=jnp.full((table, cap), -1, jnp.int32),
-        vhash=jnp.zeros((table, cap), jnp.int32),
+        vcoord=jnp.full((table, 3, cap), _VFREE, jnp.int32),
         vsum=jnp.zeros((table, 3, cap), dtype),
         vcnt=jnp.zeros((table, cap), jnp.int32),
         n_live=jnp.int32(0), overflow=jnp.bool_(False),
         leaf=float(leaf), m=int(m), table=int(table), cap=int(cap),
         nb=int(nb))
+
+
+def _keyed(pts, valid, leaf, m, table):
+    """Shared voxelization front half: bucket/lid composite key + exact
+    voxel-coordinate tie-break keys, sorted."""
+    m3 = m * m * m
+    imax = jnp.iinfo(jnp.int32).max
+    vox = jnp.floor(pts / leaf).astype(jnp.int32)
+    cellv = jnp.floor_divide(vox, m)
+    bucket = _bucket_of(cellv, table)
+    lv = vox - cellv * m
+    lid = (lv[:, 0] * m + lv[:, 1]) * m + lv[:, 2]
+    sentinel = table * m3
+    key = jnp.where(valid, bucket * m3 + lid, sentinel).astype(jnp.int32)
+    wv = jnp.where(valid[:, None], vox, imax)
+    return jax.lax.sort(
+        (key, wv[:, 0], wv[:, 1], wv[:, 2],
+         pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=4), sentinel
 
 
 def scan_delta(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float, m: int,
@@ -107,23 +126,14 @@ def scan_delta(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float, m: int,
     runs — ONE sort of N rows (vs. the ~W*N full-window sort)."""
     N = pts.shape[0]
     m3 = m * m * m
-    vox = jnp.floor(pts / leaf).astype(jnp.int32)
-    cellv = jnp.floor_divide(vox, m)
-    bucket = _bucket_of(cellv, table)
-    lv = vox - cellv * m
-    lid = (lv[:, 0] * m + lv[:, 1]) * m + lv[:, 2]
-    sentinel = table * m3
-    key = jnp.where(valid, bucket * m3 + lid, sentinel).astype(jnp.int32)
-    h2 = jnp.where(valid, hash3(vox, seed=_H2SEED),
-                   jnp.iinfo(jnp.int32).max).astype(jnp.int32)
-
-    key_s, h2_s, xs, ys, zs = jax.lax.sort(
-        (key, h2, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=2)
+    (key_s, v0, v1, v2, xs, ys, zs), sentinel = _keyed(
+        pts, valid, leaf, m, table)
     vmask = key_s < sentinel
     ar = jnp.arange(N, dtype=jnp.int32)
     vstart = jnp.concatenate([
         jnp.ones((1,), bool),
-        (key_s[1:] != key_s[:-1]) | (h2_s[1:] != h2_s[:-1])]) & vmask
+        (key_s[1:] != key_s[:-1]) | (v0[1:] != v0[:-1])
+        | (v1[1:] != v1[:-1]) | (v2[1:] != v2[:-1])]) & vmask
 
     nxt = jnp.concatenate([vstart[1:], jnp.ones((1,), bool)])
     pos = jnp.where(nxt, ar + 1, N)
@@ -139,7 +149,7 @@ def scan_delta(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float, m: int,
     cnt_run = cs_mask[next_pos] - cs_mask[ar]
     psum = jnp.stack([runsum(xs), runsum(ys), runsum(zs)], axis=1)
     return VoxDelta(bucket=(key_s // m3).astype(jnp.int32),
-                    lid=(key_s % m3).astype(jnp.int32), h2=h2_s,
+                    vox=jnp.stack([v0, v1, v2], axis=1),
                     psum=psum, cnt=cnt_run.astype(jnp.int32), ok=vstart)
 
 
@@ -157,10 +167,9 @@ def apply_delta(vm: VoxelMap, d: VoxDelta, sign: int,
     ok = d.ok & enable
 
     bkt = jnp.minimum(d.bucket, table - 1)          # clamp for gathers
-    rows_key = vm.vkey[bkt]                         # (N, cap)
-    rows_hash = vm.vhash[bkt]
-    match = ((rows_key == d.lid[:, None]) & (rows_hash == d.h2[:, None])
-             & ok[:, None])
+    rows = vm.vcoord[bkt]                           # (N, 3, cap)
+    match = (jnp.all(rows == d.vox[:, :, None], axis=1)
+             & ok[:, None])                         # (N, cap)
     found = jnp.any(match, axis=1)
     slot_m = jnp.argmax(match, axis=1).astype(jnp.int32)
 
@@ -204,15 +213,14 @@ def apply_delta(vm: VoxelMap, d: VoxDelta, sign: int,
     vsum = vm.vsum.at[b_sc, :, slot].set(new_sum, mode="drop")
     cells = vm.cells.at[b_sc, :, slot].set(cent, mode="drop")
     b_al = jnp.where(alloc, bkt, table)
-    vkey = vm.vkey.at[b_al, slot].set(d.lid, mode="drop")
-    vhash = vm.vhash.at[b_al, slot].set(d.h2, mode="drop")
+    vcoord = vm.vcoord.at[b_al, :, slot].set(d.vox, mode="drop")
     hwm = vm.hwm.at[b_al].add(1, mode="drop")
 
     born = jnp.sum(alloc.astype(jnp.int32))
     revived = jnp.sum((found & (old_cnt <= 0) & live).astype(jnp.int32))
     died = jnp.sum((found & (old_cnt > 0) & ~live).astype(jnp.int32))
     return dataclasses.replace(
-        vm, cells=cells, hwm=hwm, vkey=vkey, vhash=vhash, vsum=vsum,
+        vm, cells=cells, hwm=hwm, vcoord=vcoord, vsum=vsum,
         vcnt=vcnt,
         n_live=(vm.n_live + born + revived - died).astype(jnp.int32),
         overflow=overflow)
@@ -228,23 +236,14 @@ def build_voxel_map(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
     R = pts.shape[0]
     m3 = m * m * m
     dtype = pts.dtype
-    vox = jnp.floor(pts / leaf).astype(jnp.int32)
-    cellv = jnp.floor_divide(vox, m)
-    bucket = _bucket_of(cellv, table)
-    lv = vox - cellv * m
-    lid = (lv[:, 0] * m + lv[:, 1]) * m + lv[:, 2]
-    sentinel = table * m3
-    key = jnp.where(valid, bucket * m3 + lid, sentinel).astype(jnp.int32)
-    h2 = jnp.where(valid, hash3(vox, seed=_H2SEED),
-                   jnp.iinfo(jnp.int32).max).astype(jnp.int32)
-
-    key_s, h2_s, xs, ys, zs = jax.lax.sort(
-        (key, h2, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=2)
+    (key_s, v0, v1, v2, xs, ys, zs), sentinel = _keyed(
+        pts, valid, leaf, m, table)
     vmask = key_s < sentinel
     ar = jnp.arange(R, dtype=jnp.int32)
     vstart = jnp.concatenate([
         jnp.ones((1,), bool),
-        (key_s[1:] != key_s[:-1]) | (h2_s[1:] != h2_s[:-1])]) & vmask
+        (key_s[1:] != key_s[:-1]) | (v0[1:] != v0[:-1])
+        | (v1[1:] != v1[:-1]) | (v2[1:] != v2[:-1])]) & vmask
 
     nxt = jnp.concatenate([vstart[1:], jnp.ones((1,), bool)])
     pos = jnp.where(nxt, ar + 1, R)
@@ -276,19 +275,17 @@ def build_voxel_map(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
 
     cells = jnp.full((table, 3, cap), SENTINEL, dtype)
     vsum = jnp.zeros((table, 3, cap), dtype)
-    for i in range(3):
-        cells = cells.at[b_sc, i, slot].set(cents[i], mode="drop")
-        vsum = vsum.at[b_sc, i, slot].set(sums[i], mode="drop")
+    vcoord = jnp.full((table, 3, cap), _VFREE, jnp.int32)
+    for i, (cent_i, sum_i, v_i) in enumerate(
+            zip(cents, sums, (v0, v1, v2))):
+        cells = cells.at[b_sc, i, slot].set(cent_i, mode="drop")
+        vsum = vsum.at[b_sc, i, slot].set(sum_i, mode="drop")
+        vcoord = vcoord.at[b_sc, i, slot].set(v_i, mode="drop")
     vcnt = jnp.zeros((table, cap), jnp.int32).at[b_sc, slot].set(
         cnt_run, mode="drop")
-    vkey = jnp.full((table, cap), -1, jnp.int32).at[b_sc, slot].set(
-        (key_s % m3).astype(jnp.int32), mode="drop")
-    vhash = jnp.zeros((table, cap), jnp.int32).at[b_sc, slot].set(
-        h2_s, mode="drop")
-    hwm = jnp.zeros((table,), jnp.int32).at[jnp.where(keep, bkt_c, table)
-                                            ].add(1, mode="drop")
+    hwm = jnp.zeros((table,), jnp.int32).at[b_sc].add(1, mode="drop")
     n_live = jnp.sum(keep.astype(jnp.int32)).astype(jnp.int32)
-    return VoxelMap(cells=cells, hwm=hwm, vkey=vkey, vhash=vhash,
+    return VoxelMap(cells=cells, hwm=hwm, vcoord=vcoord,
                     vsum=vsum, vcnt=vcnt, n_live=n_live,
                     overflow=jnp.any(vstart & (slot >= cap)),
                     leaf=float(leaf), m=int(m), table=int(table),

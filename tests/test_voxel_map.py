@@ -18,19 +18,17 @@ LEAF, M, TABLE, CAP = 0.4, 6, 1024, 224
 
 
 def live_centroids(vm):
-    """(n, 3) live voxel centroids, sorted by voxel IDENTITY (bucket, lid,
-    hash) so two maps of the same voxel set align row-for-row (sorting by
-    float coordinates pairs near-equal rows nondeterministically)."""
+    """(n, 3) live voxel centroids, sorted by exact voxel IDENTITY so two
+    maps of the same voxel set align row-for-row (sorting by float
+    coordinates pairs near-equal rows nondeterministically)."""
     cells = np.asarray(vm.cells)            # (table, 3, cap)
     cnt = np.asarray(vm.vcnt)
     hwm = np.asarray(vm.hwm)
     slot = np.arange(vm.cap)[None, :]
     live = (slot < hwm[:, None]) & (cnt > 0)
     pts = cells.transpose(0, 2, 1)[live]    # (n, 3)
-    b = np.broadcast_to(np.arange(vm.table)[:, None], live.shape)[live]
-    k = np.asarray(vm.vkey)[live]
-    h = np.asarray(vm.vhash)[live]
-    order = np.lexsort((h, k, b))
+    vc = np.asarray(vm.vcoord).transpose(0, 2, 1)[live]   # (n, 3) int
+    order = np.lexsort((vc[:, 2], vc[:, 1], vc[:, 0]))
     return pts[order]
 
 
@@ -211,3 +209,39 @@ class TestMapperParity:
             return np.stack(poses)
 
         np.testing.assert_allclose(run(interval), run(64), atol=1e-4)
+
+
+class TestExactIdentityAtScale:
+    def test_no_hash_collision_corruption(self):
+        """Round-3 regression: with hash-based voxel identity, same-key
+        pairs (two cells sharing a bucket with matching in-cell ids) plus a
+        single 32-bit secondary-hash collision merged two far-apart voxels
+        into one corrupt centroid (~1 per 6e4-point build), silently
+        poisoning the surrounding 5-NN fits.  With exact-coordinate
+        identity the gathered 5-NN must match a from-scratch numpy brute
+        force EXACTLY on every gated query at map scale."""
+        from lins_tpu.ops.grid_nn import (build_grid_voxelized,
+                                          gather_candidates,
+                                          knn_from_candidates)
+        rng = np.random.default_rng(0)
+        r = jnp.asarray(rng.uniform(-20, 20, (60000, 3)), jnp.float32)
+        grid, nv = build_grid_voxelized(r, jnp.ones(60000, bool), 0.4, 6,
+                                        16384, 216, nb=8)
+        q = jnp.asarray(rng.uniform(-18, 18, (2048, 3)), jnp.float32)
+        qv = jnp.ones(2048, bool)
+        cand, ok, d2C, cov = gather_candidates(q, qv, grid, 64)
+        nn, d2 = knn_from_candidates(q, qv, cand, ok)
+
+        cells = np.asarray(grid.cells).transpose(0, 2, 1)
+        valid = (np.arange(grid.cap)[None, :]
+                 < np.asarray(grid.cnt)[:, None])
+        pts = cells[valid]
+        qn = np.asarray(q)
+        d2n = np.asarray(d2)
+        bad = 0
+        for i in range(2048):
+            dd = np.sum((pts - qn[i]) ** 2, axis=1)
+            b5 = np.partition(dd, 4)[4]        # true 5th-NN distance^2
+            if b5 < 1.0 and abs(b5 - d2n[i, 4]) > 1e-3:
+                bad += 1
+        assert bad == 0, f"{bad} gated queries disagree with brute force"
