@@ -25,6 +25,19 @@ import time
 import numpy as np
 
 
+# timed passes per benchmark: best-of for the headline (relay throughput
+# fluctuates), median/min/max committed alongside so round-over-round deltas
+# can be told apart from noise
+N_PASSES = 4
+
+
+def _spread(passes):
+    return {"median": round(float(np.median(passes)), 2),
+            "min": round(float(np.min(passes)), 2),
+            "max": round(float(np.max(passes)), 2),
+            "passes": len(passes)}
+
+
 def _drain_imu(est, data, imu_i, t_end):
     while (imu_i < len(data["imu_times"])
            and data["imu_times"][imu_i] <= t_end + 1e-9):
@@ -69,9 +82,10 @@ def bench_odometry(cfg, data, K=32, n_chunks=3, warmup=6):
         np.asarray(out[0])
         return n_chunks * K / (time.perf_counter() - t0)
 
-    # two passes (compiles cached after the first); best window — the
-    # remote-attached TPU's throughput fluctuates run to run
-    return max(one_pass(), one_pass()), n_scans
+    # N passes (compiles cached after the first): the remote-attached TPU's
+    # throughput fluctuates run to run, so the headline is the best pass and
+    # the spread (median/min/max) is reported alongside (VERDICT r3 #6)
+    return [one_pass() for _ in range(N_PASSES)], n_scans
 
 
 def bench_slam(cfg, data, K=32, n_chunks=3, warmup=6):
@@ -133,7 +147,7 @@ def bench_slam(cfg, data, K=32, n_chunks=3, warmup=6):
         np.asarray(slam.trajectory[-1][1])
         return n_chunks * K / (time.perf_counter() - t0)
 
-    return max(one_pass(), one_pass())
+    return [one_pass() for _ in range(N_PASSES)]
 
 
 def main():
@@ -163,14 +177,17 @@ def main():
     data = syn.generate_sequence(cfg, n_scans=n_scans, kind="gentle",
                                  speed=1.5)
 
-    odo_rate, _ = bench_odometry(cfg, data, K, n_chunks, warmup)
-    slam_rate = bench_slam(cfg, data, K, n_chunks, warmup)
+    odo_passes, _ = bench_odometry(cfg, data, K, n_chunks, warmup)
+    slam_passes = bench_slam(cfg, data, K, n_chunks, warmup)
+    slam_rate, odo_rate = max(slam_passes), max(odo_passes)
     print(json.dumps({
         "metric": "slam_scans_per_sec",
         "value": round(slam_rate, 2),
         "unit": "scans/s",
         "vs_baseline": round(slam_rate / 10.0, 3),
         "odometry_scans_per_sec": round(odo_rate, 2),
+        "slam_spread": _spread(slam_passes),
+        "odometry_spread": _spread(odo_passes),
     }))
 
 

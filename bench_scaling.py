@@ -1,21 +1,31 @@
 """Multi-sequence replay scaling benchmark (SURVEY.md §2 P4 / BASELINE
 config 5).
 
-Measures chunked-replay throughput when B independent scan streams run
-vmapped with the batch axis sharded over the available devices
-(`parallel.replay.make_sharded_chunk_replay`).  With B == n_devices each
-device executes exactly the single-sequence program and no collectives are
-inserted, so on real multi-chip hardware the expected frames/s scaling is
-communication-free (the ≥70% BASELINE target); this environment exposes ONE
-TPU chip, so here the sweep reports single-chip batch scaling and the
-multi-device path is validated for correctness elsewhere
-(tests/test_parallel.py + __graft_entry__.dryrun_multichip on a virtual
-8-device CPU mesh — wall-clock on virtual devices is meaningless, this host
-has 2 cores).
+Measures chunked-replay throughput when B independent scan streams run with
+the batch axis sharded over the available devices.  Two modes:
+
+  --mode full (default): the HEADLINE pipeline — odometry + mapping cadence
+    + loop-closure attempts + high-rate fusion per scan
+    (`parallel.replay.make_sharded_slam_replay`, shard_map so each device
+    runs the real single-sequence program with true conds).  This is the
+    same system `bench.py` reports, so the B=1 row is comparable to the
+    headline number (VERDICT r3 #2: the round-3 sweep covered only
+    odometry).
+  --mode odometry: the round-3 odometry-only vmapped axis
+    (`make_sharded_chunk_replay`) for comparison.
+
+With B == n_devices each device executes exactly the single-sequence
+program and no collectives are inserted, so on real multi-chip hardware the
+expected frames/s scaling is communication-free (the ≥70% BASELINE target);
+this environment exposes ONE TPU chip, so here the sweep reports
+single-chip batch scaling and the multi-device path is validated for
+correctness elsewhere (tests/test_parallel.py +
+__graft_entry__.dryrun_multichip on a virtual 8-device CPU mesh —
+wall-clock on virtual devices is meaningless, this host has 2 cores).
 
 Prints one JSON line per batch size:
-  {"metric": "replay_scans_per_sec", "batch": B, "devices": D,
-   "value": N, "per_seq": N/B, "efficiency_vs_b1": ...}
+  {"metric": ..., "batch": B, "devices": D, "value": N, "per_seq": N/B,
+   "per_device_efficiency": ..., "chunk_rates": [...]}
 """
 from __future__ import annotations
 
@@ -31,8 +41,9 @@ def main():
     ap.add_argument("--batches", type=str, default="1,2,4,8",
                     help="comma-separated batch sizes to sweep")
     ap.add_argument("--chunk", type=int, default=16, help="scans per dispatch")
-    ap.add_argument("--chunks", type=int, default=2, help="timed chunks")
+    ap.add_argument("--chunks", type=int, default=4, help="timed chunks")
     ap.add_argument("--preset", type=str, default="vlp16")
+    ap.add_argument("--mode", choices=("full", "odometry"), default="full")
     args = ap.parse_args()
 
     import jax
@@ -43,8 +54,11 @@ def main():
 
     from lins_tpu import config as C
     from lins_tpu.datasets import synthetic as syn
+    from lins_tpu.mapping.mapper import LinsMapper, imu_roll_pitch
     from lins_tpu.odometry import LinsOdometry
-    from lins_tpu.parallel.replay import make_mesh, make_sharded_chunk_replay
+    from lins_tpu.parallel.replay import (batched_mapper_state, make_mesh,
+                                          make_sharded_chunk_replay,
+                                          make_sharded_slam_replay)
 
     preset = {"vlp16": C.VLP16, "tiny": C.TINY}[args.preset]
     cfg = preset.replace(max_points=28800 if args.preset == "vlp16" else
@@ -71,6 +85,10 @@ def main():
                     data["imu_gyr"][imu_i])
         imu_i += 1
 
+    # raw-IMU roll/pitch per scan for the mapping transformUpdate blend
+    imu_t = np.asarray(odo._imu_t, float)
+    imu_a = np.stack(odo._imu_a) if odo._imu_a else np.zeros((0, 3))
+
     chunks = []
     for c in range(args.chunks + 1):
         ks = range(warmup + c * K, warmup + (c + 1) * K)
@@ -78,38 +96,88 @@ def main():
         accs = np.zeros((K, cfg.max_imu_per_scan, 3))
         gyrs = np.zeros((K, cfg.max_imu_per_scan, 3))
         valid = np.zeros((K, cfg.max_imu_per_scan), bool)
+        ts = np.zeros((K,), np.float32)
+        rp = np.full((K, 2), np.nan, np.float32)
         for i, k in enumerate(ks):
             t = float(data["scan_times"][k]) + cfg.scan_period
             dts[i], accs[i], gyrs[i], valid[i] = odo._imu_batch_np(t)
             odo.time = t
+            ts[i] = t
+            j = np.searchsorted(imu_t, t + 1e-9) - 1
+            if j >= 0:
+                rp[i] = imu_roll_pitch(imu_a[j], cfg.gravity)
         chunks.append((
             np.stack([data["scans_xyz"][k] for k in ks]).astype(np.float32),
             np.asarray([data["scans_n"][k] for k in ks], np.int32),
-            dts, accs, gyrs, valid))
+            dts, accs, gyrs, valid, ts, rp))
+
+    # mapping/loop cadence flags, shared across the batch (one scan clock)
+    mapper_host = LinsMapper(cfg)
+    flags = [mapper_host.plan_chunk(c[6]) for c in chunks]
 
     state0 = (odo.filter_state, odo.global_state, odo.last_surf,
               odo.last_corner)
     n_dev = len(jax.devices())
+    metric = ("slam_replay_scans_per_sec" if args.mode == "full"
+              else "replay_scans_per_sec")
 
     results = []
     for B in [int(b) for b in args.batches.split(",")]:
         mesh = make_mesh(min(B, n_dev))
-        step, put = make_sharded_chunk_replay(cfg, mesh)
-        state = put(jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0))
-        dev_chunks = [put(jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + x.shape), c))
-            for c in chunks]
 
-        st, poses = step(state, *dev_chunks[0])   # compile + warm
-        np.asarray(poses[0])
-        t0 = time.perf_counter()
-        st = state
-        for c in range(1, args.chunks + 1):
-            st, poses = step(st, *dev_chunks[c])
-        np.asarray(poses[0])                      # honest D2H fence
-        dt = time.perf_counter() - t0
-        total = B * K * args.chunks / dt
+        def bput(put, tree):
+            return put(jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + x.shape),
+                tree))
+
+        if args.mode == "full":
+            step, put = make_sharded_slam_replay(cfg, mesh)
+            st_o0 = bput(put, state0)
+            st_m0 = put(batched_mapper_state(cfg, B))
+            dev_chunks = [bput(put, c) for c in chunks]
+            dev_flags = [(jnp.asarray(mf), jnp.asarray(lf))
+                         for mf, lf in flags]
+            st_o, st_m, poses = step(st_o0, st_m0, *dev_chunks[0],
+                                     *dev_flags[0])   # compile + warm
+            np.asarray(poses[0][0])
+            warm_states = (st_o, st_m)
+
+            def run_pass(fence):
+                so, sm = warm_states
+                rates = []
+                t0 = time.perf_counter()
+                for c in range(1, args.chunks + 1):
+                    tc = time.perf_counter()
+                    so, sm, poses = step(so, sm, *dev_chunks[c],
+                                         *dev_flags[c])
+                    if fence:
+                        np.asarray(poses[0][0])
+                        rates.append(B * K / (time.perf_counter() - tc))
+                np.asarray(poses[0][0])               # honest D2H fence
+                return B * K * args.chunks / (time.perf_counter() - t0), rates
+        else:
+            step, put = make_sharded_chunk_replay(cfg, mesh)
+            state = bput(put, state0)
+            dev_chunks = [bput(put, c[:6]) for c in chunks]
+            st, poses = step(state, *dev_chunks[0])   # compile + warm
+            np.asarray(poses[0])
+            warm_state = st
+
+            def run_pass(fence):
+                st = warm_state
+                rates = []
+                t0 = time.perf_counter()
+                for c in range(1, args.chunks + 1):
+                    tc = time.perf_counter()
+                    st, poses = step(st, *dev_chunks[c])
+                    if fence:
+                        np.asarray(poses[0])
+                        rates.append(B * K / (time.perf_counter() - tc))
+                np.asarray(poses[0])                  # honest D2H fence
+                return B * K * args.chunks / (time.perf_counter() - t0), rates
+
+        total, _ = run_pass(fence=False)     # pipelined: the headline rate
+        _, rates = run_pass(fence=True)      # fenced: per-chunk spread
         devices = min(B, n_dev)
         if not results:
             results.append((B, total))
@@ -118,13 +186,14 @@ def main():
         # devices actually scale with B; on one chip this reports how much
         # of the chip's single-stream rate the batched form retains)
         print(json.dumps({
-            "metric": "replay_scans_per_sec",
+            "metric": metric,
             "batch": B,
             "devices": devices,
             "value": round(total, 2),
             "per_seq": round(total / B, 2),
             "per_device_efficiency": round(
                 total / (results[0][1] * devices), 3),
+            "chunk_rates": [round(r, 2) for r in rates],
         }))
 
 

@@ -55,6 +55,10 @@ class SlamConfig:
     # large fused programs (commit 96a1e37); on locally-attached TPUs
     # flip this on.  Parity-tested against the XLA path either way.
     use_pallas_assoc: bool = False
+    # Mosaic partial-selection kernel for the scan-to-map candidate prune
+    # (ops/pallas_select.py; compiles in <1 s — tools/r4_mosaic_canary.py —
+    # unlike the assoc kernels above).  Parity-tested vs the XLA sort path.
+    use_pallas_select: bool = False
     edge_feature_num: int = 2        # sharp corners per sector
     edge_less_feature_num: int = 20  # less-sharp corners per sector
     surf_feature_num: int = 4        # flat surf per sector
@@ -129,6 +133,16 @@ class SlamConfig:
     # voxel-map tombstone leak + f32 sum drift; ops/voxel_map.py). The
     # reference has no equivalent — it rebuilds every step.
     map_rebuild_interval: int = 64
+    # Static slot counts of the scan-to-map GN QUERY sets (the gather/sort/
+    # re-rank cost of mapping/scan2map.py is paid on the PADDED size, and
+    # the voxel-downsampled queries compact valid entries to the front, so a
+    # tighter cap is a free proportional speedup).  None = the keyframe
+    # store cloud capacities (mapper.derive_caps).  Per-sensor presets set
+    # these from measured occupancy (tools/r4_query_counts.py); queries
+    # beyond the cap are dropped — the mapper logs a `query_overflow`
+    # metric when a scan saturates its cap.
+    map_query_corner: int | None = None
+    map_query_surf: int | None = None        # merged surf+outlier query set
 
     # --- fixed capacities for static TPU shapes (build-specific) ---
     max_imu_per_scan: int = 64       # IMU samples padded per scan interval (400Hz * 0.1s + slack)
@@ -243,7 +257,11 @@ def _normalize_reference_yaml(raw: dict) -> dict:
 
 # --- sensor presets (replace utility.h's #ifdef dual constants) ------------
 
-VLP16 = SlamConfig()
+# Query caps from measured VLP-16 occupancy (tools/r4_query_counts.py over
+# gentle/turny/loop full-size synthetic scans: corner queries 87-143 valid
+# of 1024 slots, merged surf queries 1531-2746 of 6144): 3.5x / 1.5x
+# headroom over the observed maxima at 2x / 1.5x less padded work.
+VLP16 = SlamConfig(map_query_corner=512, map_query_surf=4096)
 
 OS1_64 = SlamConfig(
     line_num=64,

@@ -79,7 +79,14 @@ def icp_align(src, src_valid, dst, dst_valid, iters: int = 40,
     fitness = mean squared correspondence distance of the final iteration
     (PCL getFitnessScore equivalent, :1139-1141)."""
     dtype = src.dtype
-    decay = (final_corr / max_corr) ** (1.0 / max(iters - 1, 1))
+    # the geometric schedule reaches final_corr _TIGHT_ITERS before the
+    # iteration cap, so the transformation-epsilon test below runs at the
+    # finest gate for several iterations and can actually end the loop
+    # early (with the schedule reaching final_corr only on the very last
+    # iteration, the early exit could save at most one)
+    _TIGHT_ITERS = 6
+    decay = (final_corr / max_corr) ** (
+        1.0 / max(iters - 1 - min(_TIGHT_ITERS, iters // 2), 1))
 
     def cond(state):
         i, R, t, done = state

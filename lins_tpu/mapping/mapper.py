@@ -111,6 +111,17 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
         jnp.concatenate([s_ds, o_ds]), jnp.concatenate([s_ok, o_ok]),
         cfg.map_surf_leaf, surf_cap + outlier_cap)
 
+    # scan-to-map GN query views: voxel_downsample compacts valid entries to
+    # the front, so slicing to the measured-occupancy query caps
+    # (cfg.map_query_*) drops nothing in practice — `query_overflow` flags
+    # the scan if it ever does
+    qc_cap = min(cfg.map_query_corner or corner_cap, corner_cap)
+    qs_cap = min(cfg.map_query_surf or (surf_cap + outlier_cap),
+                 surf_cap + outlier_cap)
+    c_q, c_qok = c_ds[:qc_cap], c_ok[:qc_cap]
+    st_q, st_qok = st_ds[:qs_cap], st_ok[:qs_cap]
+    query_overflow = jnp.any(c_ok[qc_cap:]) | jnp.any(st_ok[qs_cap:])
+
     lmap = state.lmap
     if radius_mode:
         # 50 m-radius window, rebuilt only when the selected keyframe set
@@ -130,7 +141,7 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
 
     def refine(_):
         return scan_to_map_grids(
-            t_w, q_w, c_ds, c_ok, st_ds, st_ok,
+            t_w, q_w, c_q, c_qok, st_q, st_qok,
             lmap.corner_grid, lmap.surf_grid, lmap.n_corner, lmap.n_surf,
             cfg)
 
@@ -200,7 +211,8 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
                             aft_pos=t_m, aft_quat=q_m, edges=edges,
                             n_loops=state.n_loops)
     metrics = dict(iters=iters, n_matches=n_sel, keyframe_added=add,
-                   warm_dist=jnp.linalg.norm(t_m - t_w))
+                   warm_dist=jnp.linalg.norm(t_m - t_w),
+                   query_overflow=query_overflow)
     return new_state, t_m, q_m, metrics
 
 

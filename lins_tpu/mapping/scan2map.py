@@ -137,14 +137,31 @@ def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
         return (so3.quat_rotate(q[None, :], corner_pts) + t[None, :],
                 so3.quat_rotate(q[None, :], surf_pts) + t[None, :])
 
+    use_pallas = cfg.use_pallas_select
+    interp = jax.default_backend() == "cpu"
+
     def gather_all(t, q):
         pc, ps = world(t, q)
         cc, cc_ok, cc_d2C, cc_cov = gather_candidates(
-            pc, corner_valid, corner_grid, _CAND)
+            pc, corner_valid, corner_grid, _CAND, use_pallas, interp)
         sc, sc_ok, sc_d2C, sc_cov = gather_candidates(
-            ps, surf_valid, surf_grid, _CAND)
+            ps, surf_valid, surf_grid, _CAND, use_pallas, interp)
         return _Gather(pc, ps, cc, cc_ok, cc_d2C, cc_cov,
                        sc, sc_ok, sc_d2C, sc_cov)
+
+    Qc = corner_pts.shape[0]
+
+    def rerank_both(pc, ps, G):
+        """ONE fused 5-NN re-rank over the concatenated corner+surf caches:
+        knn_from_candidates is latency-floor-bound (~1.5 ms/call on v5e
+        regardless of Q), so one call on (Qc+Qs, C) halves the
+        per-iteration re-rank cost vs two per-channel calls."""
+        nn, d2 = knn_from_candidates(
+            jnp.concatenate([pc, ps]),
+            jnp.concatenate([corner_valid, surf_valid]),
+            jnp.concatenate([G.cc, G.sc]),
+            jnp.concatenate([G.cc_ok, G.sc_ok]))
+        return nn[:Qc], d2[:Qc], nn[Qc:], d2[Qc:]
 
     def stale(p_now, p_gat, valid, d2_5, d2C, cov):
         """True iff some query's cached top-5 may differ from brute force.
@@ -168,8 +185,7 @@ def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
     def body(carry):
         t, q, it, conv, proj, nm, G = carry
         pc, ps = world(t, q)
-        nn_c, d2_c = knn_from_candidates(pc, corner_valid, G.cc, G.cc_ok)
-        nn_s, d2_s = knn_from_candidates(ps, surf_valid, G.sc, G.sc_ok)
+        nn_c, d2_c, nn_s, d2_s = rerank_both(pc, ps, G)
         need = (stale(pc, G.pc, corner_valid, d2_c[:, 4], G.cc_d2C,
                       G.cc_cov)
                 | stale(ps, G.ps, surf_valid, d2_s[:, 4], G.sc_d2C,
@@ -177,10 +193,7 @@ def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
 
         def refresh(_):
             G2 = gather_all(t, q)
-            nn_c2, d2_c2 = knn_from_candidates(pc, corner_valid, G2.cc,
-                                               G2.cc_ok)
-            nn_s2, d2_s2 = knn_from_candidates(ps, surf_valid, G2.sc,
-                                               G2.sc_ok)
+            nn_c2, d2_c2, nn_s2, d2_s2 = rerank_both(pc, ps, G2)
             return G2, nn_c2, d2_c2, nn_s2, d2_s2
 
         G, nn_c, d2_c, nn_s, d2_s = jax.lax.cond(

@@ -185,6 +185,16 @@ def build_grid_voxelized(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float,
     return grid, n_voxels
 
 
+# Squared-distance cutoff above which a candidate is a PARKED slot, not a
+# point: ops/voxel_map.py tombstones dead slots at SENTINEL=1e9 (d² ~ 3e18,
+# finite in f32) and its hwm-based `cnt` counts them as in-bucket, so the
+# `ok` masks alone no longer exclude them (the pre-round-3 isfinite
+# "exhausted slot" contract).  Physical map coordinates are << 1e5 m
+# (d² << 1e11), so d² >= 1e17 identifies sentinels unambiguously; every
+# gather below maps them back to +inf, restoring the isfinite contract for
+# all consumers.
+_FAR2 = 1.0e17
+
 # the 27 neighbor-cell offsets, (27, 3) — numpy so importing this module
 # never initializes a JAX backend
 _OFFS = np.stack(np.meshgrid(*([np.arange(-1, 2)] * 3),
@@ -213,7 +223,8 @@ def _neighborhood(query: jnp.ndarray, grid: HashGrid):
 
 
 def gather_candidates(query: jnp.ndarray, q_valid: jnp.ndarray,
-                      grid: HashGrid, C: int):
+                      grid: HashGrid, C: int, use_pallas: bool = False,
+                      interpret: bool = False):
     """ONE-SHOT candidate gather + prune to a compact (Q, C, 3) cache.
 
     This is the expensive half of the 5-NN (the (Q, nb, cap) HBM gather is
@@ -228,6 +239,11 @@ def gather_candidates(query: jnp.ndarray, q_valid: jnp.ndarray,
         can hide; every point within 1 m of the moved query is still in the
         kept set while d <= sqrt(d2C) - 1  (d2C = +inf when nothing within
         the coverage ball was pruned).
+
+    use_pallas: route the nearest-C selection through the Mosaic
+    partial-selection kernel (ops/pallas_select.py, C+1 min+extract passes
+    in VMEM) instead of the XLA variadic sort — same contract, with the
+    tighter first-DROPPED d2C bound instead of the C-th-kept distance.
 
     Returns (cand (Q,C,3), cand_ok (Q,C), d2C (Q,), cover (Q,)).
     """
@@ -246,9 +262,17 @@ def gather_candidates(query: jnp.ndarray, q_valid: jnp.ndarray,
     n_in = grid.cnt[bb]
     ok = (jnp.arange(cap, dtype=jnp.int32)[None, None, :] < n_in[:, :, None]
           ) & ~dup[:, :, None]
+    if use_pallas:
+        from lins_tpu.ops.pallas_select import select_candidates
+
+        flat_c = cand.transpose(0, 2, 1, 3).reshape(Q, 3, B)
+        out, cand_ok, _, d2C = select_candidates(
+            query, q_valid, flat_c[:, 0], flat_c[:, 1], flat_c[:, 2],
+            ok.reshape(Q, B), C, interpret=interpret)
+        return out, cand_ok, d2C, cover
     diff = cand - query[:, None, :, None]
     d2 = jnp.sum(diff * diff, axis=2)
-    d2 = jnp.where(ok, d2, jnp.inf).reshape(Q, B)
+    d2 = jnp.where(ok & (d2 < _FAR2), d2, jnp.inf).reshape(Q, B)
     d2 = jnp.where(q_valid[:, None], d2, jnp.inf)
     flat_c = cand.transpose(0, 2, 1, 3).reshape(Q, 3, B)
 
@@ -271,15 +295,13 @@ def gather_block(query: jnp.ndarray, q_valid: jnp.ndarray, grid: HashGrid):
     neighborhood block, as (Q, nb*cap, 3) + validity — no top-k compaction,
     no prune bound.
 
-    Production scan-to-map path (round 3): keeping the whole block costs
-    HBM capacity (~130 MB at VLP-16 surf sizes) but removes the two
-    dominant costs of the pruned cache (`gather_candidates`): the
-    (Q, nb*cap) -> C lax.top_k sort at gather time, and the d2C prune-bound
-    re-gathers inside the GN loop — with the full block only the geometric
-    coverage bound remains, and its slack (>= 0.15 m by grid construction)
-    exceeds any warm-started GN's total pose motion, so the gather runs
-    ONCE per mapping step in practice.  Per-iteration re-ranking
-    (knn_from_candidates) is dense vector math over the block.
+    NOT the production path.  This was the round-3 "no pruning" experiment:
+    it removes the gather-time top-C selection and the d2C re-gather bound,
+    but the per-GN-iteration re-rank then runs over the full 1728–5832-wide
+    blocks and benched at 22.4 scans/s vs the pruned cache's 75+ (PARITY.md
+    "negative results").  Production uses `gather_candidates`
+    (mapping/scan2map.py); this function is kept only for the
+    tools/r3_s2m_prof.py measurement evidence.
 
     Returns (cand (Q, nb*cap, 3), ok (Q, nb*cap), cover (Q,)).
     """
@@ -304,26 +326,23 @@ def knn_from_candidates(p_w: jnp.ndarray, q_valid: jnp.ndarray,
     """k nearest of each query's CACHED candidate set (gather_candidates)
     at the current pose — per-GN-iteration re-ranking, all dense math.
 
-    Selection is k min+one-hot-contraction passes: the selected point is
-    recovered as `first_hit @ cand` (a batched matvec) instead of
-    take_along_axis — argmin+gather rounds measured 3.2 ms per call at
-    (6144, 64) on v5e (the whole GN loop's dominant cost, paid every
-    iteration); the gather-free form is pure VPU/MXU work and fuses.
+    One 4-operand lax.sort over the narrow (Q, C) cache carrying the
+    coordinates, then a static k-slice.  Measured on v5e at (6144, 64):
+    sort-carry 1.51 ms vs 1.77 ms for the round-3 k-pass min + one-hot
+    contraction and 3.2 ms for argmin+take_along_axis rounds (the cost is
+    latency-floor-bound — nearly flat in Q and C — so ONE fused call over
+    concatenated corner+surf query sets beats two; see scan2map.py).
     Returns (nn (Q,k,3), d2 (Q,k)); exhausted slots get +inf distance and
     the query point itself as nn."""
     d2 = jnp.sum((cand - p_w[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cand_ok & q_valid[:, None], d2, jnp.inf)
-    sels, ds = [], []
-    for _ in range(k):
-        m = jnp.min(d2, axis=1)
-        hit = (d2 <= m[:, None]) & jnp.isfinite(d2)
-        first = hit & (jnp.cumsum(hit.astype(jnp.int32), axis=1) == 1)
-        sels.append(first.astype(cand.dtype))
-        ds.append(m)
-        d2 = jnp.where(first, jnp.inf, d2)
-    # one batched (k, C) @ (C, 3) contraction recovers all k points
-    nn = jnp.einsum("qkc,qci->qki", jnp.stack(sels, axis=1), cand)
-    d2k = jnp.stack(ds, axis=1)
+    # d2 < _FAR2: exclude SENTINEL-parked tombstone slots that reach here
+    # with cand_ok=True via gather_block's count-only masks
+    d2 = jnp.where(cand_ok & q_valid[:, None] & (d2 < _FAR2), d2, jnp.inf)
+    d2s, xs, ys, zs = jax.lax.sort(
+        (d2, cand[:, :, 0], cand[:, :, 1], cand[:, :, 2]),
+        dimension=1, num_keys=1)
+    d2k = d2s[:, :k]
+    nn = jnp.stack([xs[:, :k], ys[:, :k], zs[:, :k]], axis=-1)
     nn = jnp.where(jnp.isfinite(d2k)[:, :, None], nn, p_w[:, None, :])
     return nn, d2k
 
@@ -357,7 +376,7 @@ def grid_knn(query: jnp.ndarray, q_valid: jnp.ndarray, grid: HashGrid,
 
     diff = cand - query[:, None, :, None]
     d2 = jnp.sum(diff * diff, axis=2)                           # (Q, 27, cap)
-    d2 = jnp.where(ok, d2, jnp.inf).reshape(Q, n_off * cap)
+    d2 = jnp.where(ok & (d2 < _FAR2), d2, jnp.inf).reshape(Q, n_off * cap)
     d2 = jnp.where(q_valid[:, None], d2, jnp.inf)
     neg_d, sel = jax.lax.top_k(-d2, k)
     # recover the selected points component-wise ((Q, 27*cap) flat order

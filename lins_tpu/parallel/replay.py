@@ -87,6 +87,111 @@ def make_sharded_chunk_replay(cfg: SlamConfig, mesh: Mesh, axis: str = "seq"):
     return step, put
 
 
+def make_sharded_slam_replay(cfg: SlamConfig, mesh: Mesh, axis: str = "seq",
+                             n_window: int | None = None,
+                             submap_cap: int = 16384, cloud_cap: int = 8192,
+                             opt_iters: int = 8):
+    """FULL-pipeline multi-sequence replay sharded over the mesh — the
+    round-4 P4 axis covering the headline system (odometry chunk + mapping
+    + loop closure + high-rate fusion; VERDICT r3 #2: the round-3 sweep
+    batched only odometry).
+
+    `shard_map` instead of `vmap`: the mapping cadence and loop-closure
+    acceptance are data-dependent `lax.cond`s, which vmap would lower to
+    both-branch `select`s — every scan would pay the mapping step and every
+    loop attempt the pose-graph solve.  Under shard_map each device runs
+    the REAL single-sequence program (true conds, dynamic while_loop trip
+    counts) on its own shard, bit-identical to the single-device chunked
+    replay; a sub-batch larger than the device count is processed
+    sequentially per device via lax.scan (the right schedule for
+    independent heavy streams — no both-branch waste).
+
+    Restriction: the mapping/loop cadence flags (mf, lf) are REPLICATED
+    across sequences — all replayed streams share one scan clock (true for
+    batch replay of same-rate sensor streams; per-sequence scan times `ts`
+    remain per-lane).
+
+    Returns (step, put):
+      step(odo_states, map_states, xyz, n, dts, accs, gyrs, valid, ts, rp,
+           mf, lf) -> (odo_states', map_states', (pos, quat) fused per scan)
+      with every arg batch-leading except mf/lf ((K,) host-planned bools).
+      put(tree) shards a batch-leading pytree over the mesh; mf/lf are
+      passed replicated.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:        # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from lins_tpu.mapping import mapper as mp
+
+    corner_cap, surf_cap, outlier_cap = mp.derive_caps(cfg)
+    from lins_tpu.mapping import local_map as lmn
+    gp = lmn.grid_params(cfg)
+    nw = n_window or cfg.surrounding_keyframe_search_num
+    map_chunk = partial(
+        mp._mapping_chunk_impl, cfg=cfg, corner_cap=corner_cap,
+        surf_cap=surf_cap, outlier_cap=outlier_cap, n_window=nw, gp=gp,
+        submap_cap=submap_cap, cloud_cap=cloud_cap, opt_iters=opt_iters)
+
+    def one(odo_state, map_state, xyz_k, n_k, dts, accs, gyrs, valid,
+            ts_k, rp_k, mf, lf):
+        fs, gs, lsurf, lcorn = odo_state
+        (fs, gs, lsurf, lcorn), outs = est.chunk_scan_step_impl(
+            fs, gs, lsurf, lcorn, xyz_k, n_k, dts, accs, gyrs, valid, cfg)
+        rns, qbns, _, _, _, clouds = outs
+        map_state, (pos, quat, _, _, _, _) = map_chunk(
+            map_state, rns, qbns, ts_k,
+            clouds["cxyz"], clouds["cval"], clouds["sxyz"], clouds["sval"],
+            clouds["oxyz"], clouds["oval"], rp_k, mf, lf)
+        return (fs, gs, lsurf, lcorn), map_state, (pos, quat)
+
+    def per_shard(odo_states, map_states, xyz, n, dts, accs, gyrs, valid,
+                  ts, rp, mf, lf):
+        def body(_, args):
+            os_, ms_, x, nn_, dt, ac, gy, va, t_, r_ = args
+            os2, ms2, poses = one(os_, ms_, x, nn_, dt, ac, gy, va, t_, r_,
+                                  mf, lf)
+            return _, (os2, ms2, poses)
+
+        _, (os2, ms2, poses) = jax.lax.scan(
+            body, None, (odo_states, map_states, xyz, n, dts, accs, gyrs,
+                         valid, ts, rp))
+        return os2, ms2, poses
+
+    bspec = P(axis)
+    rspec = P()
+    # check_vma off: the per-device program is fully independent (no
+    # collectives), and the VMA tracker rejects its constant-initialized
+    # while_loop carries (front-end label propagation) as "unvarying
+    # input, varying output"
+    step = jax.jit(shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(bspec, bspec, bspec, bspec, bspec, bspec, bspec, bspec,
+                  bspec, bspec, rspec, rspec),
+        out_specs=(bspec, bspec, bspec), check_vma=False))
+
+    def put(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(
+                mesh, P(*((axis,) + (None,) * (x.ndim - 1))))), tree)
+
+    return step, put
+
+
+def batched_mapper_state(cfg: SlamConfig, batch: int,
+                         n_window: int | None = None, dtype=jnp.float32):
+    """A (batch,)-leading stack of fresh MapperStates for the sharded
+    full-SLAM replay."""
+    from lins_tpu.mapping import mapper as mp
+
+    st = mp.init_mapper(cfg, *mp.derive_caps(cfg),
+                        n_window or cfg.surrounding_keyframe_search_num,
+                        dtype=dtype)
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (batch,) + a.shape), st)
+
+
 # ---------------------------------------------------------------------------
 # Tiny-state builders for dry runs and benchmarks
 # ---------------------------------------------------------------------------

@@ -27,10 +27,15 @@ def _flatten(tree, prefix, out):
     return treedef
 
 
+# archive layout version: bump when the serialized pytree layout changes
+# (v2 = round-3 layout with the derived lmap excluded from mapper_state)
+_FORMAT = 2
+
+
 def save_state(path: str, odometry=None, mapper=None, extra=None):
     """Save estimator + mapper state to an npz file."""
     out = {}
-    meta = {}
+    meta = {"format": _FORMAT}
     if odometry is not None:
         meta["odo"] = dict(status=odometry.status, time=odometry.time)
         if odometry.filter_state is not None:
@@ -60,6 +65,13 @@ def _unflatten(data, prefix, template):
     treedef = jax.tree_util.tree_structure(template)
     import jax.numpy as jnp
     t_leaves = jax.tree_util.tree_leaves(template)
+    if n != len(t_leaves):
+        # a zip would silently truncate/misassign leaves into the wrong
+        # fields; incompatible (e.g. older-format) archives must fail loudly
+        raise ValueError(
+            f"checkpoint '{prefix}' has {n} leaves but the current state "
+            f"layout expects {len(t_leaves)} — archive written by an "
+            f"incompatible lins_tpu version (format {_FORMAT} expected)")
     leaves = [jnp.asarray(l, t.dtype if hasattr(t, "dtype") else None)
               for l, t in zip(leaves, t_leaves)]
     return jax.tree_util.tree_unflatten(treedef, leaves)
