@@ -112,6 +112,14 @@ class SlamConfig:
     # detection radius, so 25 m covers its practical recovery envelope)
     loop_icp_iters: int = 40
     loop_icp_max_corr: float = 25.0
+    # Odometry-consistency gate on proposed loop edges (absent from the
+    # reference — its fitness-only gate admits self-similar-submap
+    # misalignments): the edge's implied pose correction must not exceed
+    # frac x (odometry arc length between the two keyframes), floored at
+    # min_m, and its rotation correction must stay under rot_max rad.
+    loop_consistency_frac: float = 0.05      # ~2x a pessimistic LIO drift rate
+    loop_consistency_min_m: float = 2.0
+    loop_consistency_rot_max: float = 0.5    # rad (~29 deg)
     # Pose-graph edge variances.  The reference feeds gtsam 1e-6/1e-8
     # odometry variances (lidar_mapping_node.cpp:383-385) which, against
     # fitness-weighted loop factors, lets a loop edge correct only ~2% of

@@ -66,6 +66,53 @@ def default_world() -> World:
     return World(walls=walls, poles=poles)
 
 
+def big_world() -> World:
+    """A large ring course: 94x64 m outer hall around a 46x20 m inner
+    island, partitions + poles along the circuit.  Built for the `bigloop`
+    trajectory (~181 m lap, extent 70 m) whose span EXCEEDS the 50 m
+    radius-mode window — the sequence where loop closure is the only path
+    to accuracy (VERDICT r3 #3)."""
+    walls = (
+        # outer hall
+        (-12.0, -32.0, 82.0, -32.0, 5.0),
+        (-12.0, 32.0, 82.0, 32.0, 5.0),
+        (82.0, -32.0, 82.0, 32.0, 5.0),
+        (-12.0, -32.0, -12.0, 32.0, 5.0),
+        # inner island
+        (12.0, -10.0, 58.0, -10.0, 4.0),
+        (12.0, 10.0, 58.0, 10.0, 4.0),
+        (58.0, -10.0, 58.0, 10.0, 4.0),
+        (12.0, -10.0, 12.0, 10.0, 4.0),
+        # partitions jutting from the outer walls (fixed edge features)
+        (0.0, -32.0, 0.0, -28.0, 4.0),
+        (25.0, -32.0, 25.0, -29.0, 4.0),
+        (50.0, -32.0, 50.0, -29.0, 4.0),
+        (75.0, -32.0, 75.0, -28.0, 4.0),
+        (0.0, 32.0, 0.0, 28.0, 4.0),
+        (25.0, 32.0, 25.0, 29.0, 4.0),
+        (50.0, 32.0, 50.0, 29.0, 4.0),
+        (75.0, 32.0, 75.0, 28.0, 4.0),
+        (-12.0, 0.0, -8.0, 0.0, 4.0),
+        (82.0, 0.0, 78.0, 0.0, 4.0),
+        # partitions jutting from the island
+        (20.0, -10.0, 20.0, -13.0, 3.5),
+        (45.0, -10.0, 45.0, -13.0, 3.5),
+        (20.0, 10.0, 20.0, 13.0, 3.5),
+        (45.0, 10.0, 45.0, 13.0, 3.5),
+        (12.0, 0.0, 9.0, 0.0, 3.5),
+        (58.0, 0.0, 61.0, 0.0, 3.5),
+    )
+    poles = (
+        (-5.0, 15.0, 0.06, 5.0), (-5.0, -15.0, 0.06, 5.0),
+        (10.0, 25.0, 0.06, 5.0), (30.0, 27.0, 0.07, 5.0),
+        (55.0, 26.0, 0.06, 5.0), (75.0, 15.0, 0.06, 5.0),
+        (78.0, -12.0, 0.05, 5.0), (60.0, -26.0, 0.06, 5.0),
+        (30.0, -28.0, 0.07, 5.0), (5.0, -25.0, 0.06, 5.0),
+        (67.0, 24.0, 0.05, 5.0), (8.0, -17.0, 0.05, 5.0),
+    )
+    return World(walls=walls, poles=poles)
+
+
 # ---------------------------------------------------------------------------
 # Trajectories (analytic, differentiated with jax for exact IMU)
 # ---------------------------------------------------------------------------
@@ -113,6 +160,22 @@ def make_trajectory(kind: str = "gentle", speed: float = 1.0,
         # loop_time_gate to close a loop quickly on CPU).
         a, b = 14.0 * loop_scale, 5.5 * loop_scale
         # Ramanujan perimeter; omega scales so mean speed ~= `speed`
+        per = np.pi * (3.0 * (a + b)
+                       - np.sqrt((3.0 * a + b) * (a + 3.0 * b)))
+        om = 2.0 * np.pi * speed / per
+
+        def pos(t):
+            return jnp.stack([
+                a * (1.0 - jnp.cos(om * t)),
+                b * jnp.sin(om * t),
+                z0 + 0.05 * jnp.sin(0.3 * t),
+            ])
+    elif kind == "bigloop":
+        # the big_world() ring course: a 35x22 m half-axis ellipse
+        # (~181 m lap — at 1.5 m/s a ~121 s lap, 4x the 30 s age gate)
+        # whose 70 m extent exceeds the 50 m radius window, so revisits
+        # depend on loop closure, not direct radius-mode map reuse
+        a, b = 35.0, 22.0
         per = np.pi * (3.0 * (a + b)
                        - np.sqrt((3.0 * a + b) * (a + 3.0 * b)))
         om = 2.0 * np.pi * speed / per
@@ -290,7 +353,7 @@ def generate_sequence(cfg: SlamConfig, n_scans: int = 20, kind: str = "gentle",
       scans_xyz (n, max_points, 3), scans_n (n,), scan_times (n,) [sweep start],
       imu_times/acc/gyr, gt_pos/gt_quat at each sweep *end* time.
     """
-    world = world or default_world()
+    world = world or (big_world() if kind == "bigloop" else default_world())
     walls, poles = world.as_arrays()
     pose_fn = make_trajectory(kind, speed, loop_scale=loop_scale)
 

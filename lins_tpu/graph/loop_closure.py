@@ -42,6 +42,34 @@ def detect_loop(store: kf.KeyframeStore, cur: jnp.ndarray, cur_time,
 _HI = jax.lax.Precision.HIGHEST
 
 
+def path_length(store: kf.KeyframeStore, id_a, id_b):
+    """Trajectory arc length along the keyframe chain id_a -> id_b (absolute
+    ids, id_a <= id_b), from the store's CURRENT pose estimates.  Evicted
+    chain segments contribute nothing (the bound consumer treats the result
+    as a lower bound is fine — both ends of a loop candidate are live by
+    construction)."""
+    K = store.capacity
+    ids = store.kf_id
+    nxt_slot = ((ids + 1) % K).astype(jnp.int32)
+    seg = jnp.linalg.norm(store.pos[nxt_slot] - store.pos, axis=1)
+    ok = (kf.live_mask(store) & (ids >= id_a) & (ids < id_b)
+          & (store.kf_id[nxt_slot] == ids + 1))
+    return jnp.sum(jnp.where(ok, seg, 0.0))
+
+
+def consistency_bound(store: kf.KeyframeStore, idx, cur, cfg: SlamConfig):
+    """Max plausible drift between the store's current estimate of the loop
+    pair and the ICP measurement: a drift-rate fraction of the odometry arc
+    length between the two keyframes, floored at a constant.  A loop edge
+    whose implied correction exceeds this is a misalignment, not drift —
+    the fitness-only gate (the reference's, lidar_mapping_node.cpp:1141)
+    admits such edges when the submap is self-similar (measured round 3:
+    one borderline edge worsened RPE to 0.176 m)."""
+    arc = path_length(store, idx, cur)
+    return jnp.maximum(cfg.loop_consistency_frac * arc,
+                       cfg.loop_consistency_min_m)
+
+
 def _umeyama(src, dst, w):
     """Weighted rigid alignment src->dst (closed form, no scaling).
 
@@ -190,12 +218,25 @@ def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
         p_m, q_m = store.pos[m_slot], store.quat[m_slot]
         q_rel = so3.quat_normalize(so3.quat_mul(so3.quat_inv(q_m), q_corr))
         t_rel = so3.quat_rotate_inv(q_m, p_corr - p_m)
-        return t_rel, q_rel, fitness
+        # implied correction of the current pose = the drift this edge
+        # claims to have measured (consistency gate below)
+        corr_t = jnp.linalg.norm(p_corr - p_c)
+        corr_rot = jnp.linalg.norm(so3.log_quat(q_icp))
+        return t_rel, q_rel, fitness, corr_t, corr_rot
 
     def skip(_):
         return (jnp.zeros(3, dtype), so3.quat_identity(dtype),
-                jnp.asarray(jnp.inf, dtype))
+                jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
+                jnp.asarray(0.0, dtype))
 
-    t_rel, q_rel, fitness = jax.lax.cond(found, align, skip, None)
-    accepted = found & (fitness < cfg.history_keyframe_fitness_score)
+    t_rel, q_rel, fitness, corr_t, corr_rot = jax.lax.cond(
+        found, align, skip, None)
+    # odometry-consistency gate: the edge's implied correction must stay
+    # within a drift-rate bound of the arc length between the two keyframes
+    # (plus a rotation cap) — fitness alone admits self-similar-submap
+    # misalignments
+    consistent = ((corr_t <= consistency_bound(store, idx, cur, cfg))
+                  & (corr_rot <= cfg.loop_consistency_rot_max))
+    accepted = (found & (fitness < cfg.history_keyframe_fitness_score)
+                & consistent)
     return idx, found, accepted, t_rel, q_rel, fitness

@@ -374,6 +374,25 @@ class LinsMapper:
             gp=gp, submap_cap=16384, cloud_cap=8192, opt_iters=8))
         self.last_loop_time = -np.inf
         self.loop_info = []
+        self._shard_mesh = None
+
+    def shard_store_over(self, mesh, axis: str = "seq"):
+        """P3: pin the keyframe store sharded along the KEYFRAME axis over
+        `mesh` (parallel/shard_map_store.py) and keep it there — every
+        step's output store is re-pinned, so the window assembly /
+        rebuilds run with XLA-inserted gather collectives while the
+        pipeline itself is unchanged (sharded and single-device runs are
+        trajectory-identical; tests/test_parallel.py)."""
+        self._shard_mesh = (mesh, axis)
+        self._repin()
+
+    def _repin(self):
+        if self._shard_mesh is None:
+            return
+        from lins_tpu.parallel.shard_map_store import shard_store
+        mesh, axis = self._shard_mesh
+        self.state = self.state._replace(
+            store=shard_store(self.state.store, mesh, axis))
 
     def _scan_sds(self, cloud_dtype, chunk=None):
         cd = cloud_dtype or self.dtype
@@ -443,6 +462,7 @@ class LinsMapper:
             surf_xyz, surf_valid, outl_xyz, outl_valid, rp)
         self.metrics.append(metrics)
         self.trajectory.append((time, t_m, q_m))
+        self._repin()
         return t_m, q_m
 
     def plan_chunk(self, ts_host):
@@ -497,6 +517,7 @@ class LinsMapper:
                                         aft_rows_q.row(i)))
             if loop_flags[i]:
                 self.loop_info.append(ChunkMetrics(info_rows, i))
+        self._repin()
         return pos, quat
 
     def maybe_close_loop(self, time: float, time_dev=None):
@@ -511,6 +532,7 @@ class LinsMapper:
                  else time_dev.astype(self.dtype))
         self.state, info = self._loop_step(self.state, t_dev)
         self.loop_info.append(info)
+        self._repin()
         return info
 
     def rebuild_local_map(self):

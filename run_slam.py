@@ -23,7 +23,9 @@ def main():
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--synthetic", metavar="KIND",
                      help="synthetic trajectory: static|straight|gentle|"
-                          "turny|loop (loop: closed revisiting circuit)")
+                          "turny|loop|bigloop (loop: closed revisiting "
+                          "circuit; bigloop: ~181 m ring course whose "
+                          "extent exceeds the 50 m radius window)")
     src.add_argument("--bag", help="rosbag 2.0 file (uncompressed chunks)")
     src.add_argument("--kitti", help="KITTI odometry root directory")
     ap.add_argument("--seq", default="00", help="KITTI sequence id")

