@@ -163,9 +163,12 @@ def main():
     from lins_tpu.datasets import synthetic as syn
 
     on_tpu = jax.default_backend() != "cpu"
-    # Mosaic label kernel (1.5 ms vs ~5 ms XLA label propagation) on TPU;
+    # Mosaic label kernel (1.5 ms vs ~5 ms XLA label propagation) and the
+    # round-4 partial-selection kernel (surf gather prune 9.5 -> 6.0 ms,
+    # corner 6.2 -> 3.1 ms; tools/r4_select_micro.py) on TPU;
     # interpret-mode Pallas is too slow for a CPU bench run
-    cfg = VLP16.replace(max_points=28800, use_pallas=on_tpu)
+    cfg = VLP16.replace(max_points=28800, use_pallas=on_tpu,
+                        use_pallas_select=on_tpu)
     if "--pallas-assoc" in sys.argv:
         # fused Mosaic scan-to-scan association kernels (ops/pallas_assoc)
         # instead of the XLA masked-argmin path — A/B for PARITY.md

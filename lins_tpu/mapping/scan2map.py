@@ -155,7 +155,10 @@ def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
         """ONE fused 5-NN re-rank over the concatenated corner+surf caches:
         knn_from_candidates is latency-floor-bound (~1.5 ms/call on v5e
         regardless of Q), so one call on (Qc+Qs, C) halves the
-        per-iteration re-rank cost vs two per-channel calls."""
+        per-iteration re-rank cost vs two per-channel calls.  (The fusion
+        is exactness-verified on device — the round-4 sort-carry re-rank
+        regression bisected to knn_from_candidates' internals, not to this
+        concat; see its docstring.)"""
         nn, d2 = knn_from_candidates(
             jnp.concatenate([pc, ps]),
             jnp.concatenate([corner_valid, surf_valid]),

@@ -326,23 +326,52 @@ def knn_from_candidates(p_w: jnp.ndarray, q_valid: jnp.ndarray,
     """k nearest of each query's CACHED candidate set (gather_candidates)
     at the current pose — per-GN-iteration re-ranking, all dense math.
 
-    One 4-operand lax.sort over the narrow (Q, C) cache carrying the
-    coordinates, then a static k-slice.  Measured on v5e at (6144, 64):
-    sort-carry 1.51 ms vs 1.77 ms for the round-3 k-pass min + one-hot
-    contraction and 3.2 ms for argmin+take_along_axis rounds (the cost is
-    latency-floor-bound — nearly flat in Q and C — so ONE fused call over
-    concatenated corner+surf query sets beats two; see scan2map.py).
+    Selection is k min+one-hot-contraction passes: the selected point is
+    recovered as `first_hit @ cand` (a batched matvec) instead of
+    take_along_axis — argmin+gather rounds measured 3.2 ms per call at
+    (6144, 64) on v5e; the gather-free form is pure VPU/MXU work and fuses.
+
+    DO NOT replace this with a 4-operand payload-carrying lax.sort.  The
+    sort form is semantically identical (stable, same tie order; measured
+    marginally faster standalone: 1.51 vs 1.77 ms at (6144, 64)) and is
+    EXACT when jitted in isolation (tools/r4_knn_precision_probe.py: d2
+    error ~5e-7, 0% wrong 1-NN on TPU) — but inside the full fused mapping
+    program on the v5e relay stack it produced WRONG nearest neighbors
+    (round-4 finding: scan-to-map matches dropped 2216 -> 1375 on an
+    identical step, GN stopped converging, gentle-sequence ATE 0.010 ->
+    0.0255; bisected by swapping only this function's body with the
+    surrounding program unchanged, tools/r4_step_diff.py).  CPU results
+    are identical for both forms, so only an on-device oracle catches it.
     Returns (nn (Q,k,3), d2 (Q,k)); exhausted slots get +inf distance and
     the query point itself as nn."""
-    d2 = jnp.sum((cand - p_w[:, None, :]) ** 2, axis=-1)
+    diff = cand - p_w[:, None, :]
+    # explicit contraction with precision=HIGHEST: XLA may rewrite the
+    # reduce-of-squares into a dot, and TPU f32 dots default to bf16
+    # passes — |coord|^2 * 2^-8-scale distance error, i.e. wrong nearest
+    # neighbors (the round-3 on-device pathology, PARITY "bf16 matmul
+    # distance error")
+    d2 = jnp.einsum("qci,qci->qc", diff, diff,
+                    precision=jax.lax.Precision.HIGHEST)
     # d2 < _FAR2: exclude SENTINEL-parked tombstone slots that reach here
     # with cand_ok=True via gather_block's count-only masks
     d2 = jnp.where(cand_ok & q_valid[:, None] & (d2 < _FAR2), d2, jnp.inf)
-    d2s, xs, ys, zs = jax.lax.sort(
-        (d2, cand[:, :, 0], cand[:, :, 1], cand[:, :, 2]),
-        dimension=1, num_keys=1)
-    d2k = d2s[:, :k]
-    nn = jnp.stack([xs[:, :k], ys[:, :k], zs[:, :k]], axis=-1)
+    sels, ds = [], []
+    for _ in range(k):
+        m = jnp.min(d2, axis=1)
+        hit = (d2 <= m[:, None]) & jnp.isfinite(d2)
+        first = hit & (jnp.cumsum(hit.astype(jnp.int32), axis=1) == 1)
+        sels.append(first.astype(cand.dtype))
+        ds.append(m)
+        d2 = jnp.where(first, jnp.inf, d2)
+    # one batched (k, C) @ (C, 3) contraction recovers all k points.
+    # NO precision override here: with precision=HIGHEST this contraction
+    # comes back WRONG inside the fused mapping program on the v5e relay
+    # stack (round-4 bisect: matches 2216 -> 1375 with HIGHEST, correct
+    # without — tools/r4_step_diff.py; same context-sensitive miscompile
+    # class as the sort-carry ban above).  The default lowering keeps this
+    # tiny (k, C) one-hot matvec on the VPU where it is exact f32.
+    nn = jnp.einsum("qkc,qci->qki", jnp.stack(sels, axis=1), cand)
+    d2k = jnp.stack(ds, axis=1)
     nn = jnp.where(jnp.isfinite(d2k)[:, :, None], nn, p_w[:, None, :])
     return nn, d2k
 

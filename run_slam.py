@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--no-loop-closure", action="store_true")
     ap.add_argument("--pallas", action="store_true",
                     help="enable Pallas kernels (TPU)")
+    ap.add_argument("--no-pallas-select", action="store_true",
+                    help="with --pallas: keep the label kernel but use the "
+                         "XLA sort path for the scan-to-map candidate "
+                         "prune (A/B isolation)")
+    ap.add_argument("--full-queries", action="store_true",
+                    help="disable the measured-occupancy map_query_* caps "
+                         "(A/B isolation)")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="save state every N scans")
     ap.add_argument("--resume", help="checkpoint file to resume from")
@@ -104,7 +111,11 @@ def main():
     if args.no_loop_closure:
         cfg = cfg.replace(loop_closure_enabled=False)
     if args.pallas:
-        cfg = cfg.replace(use_pallas=True)
+        cfg = cfg.replace(use_pallas=True, use_pallas_select=True)
+    if args.no_pallas_select:
+        cfg = cfg.replace(use_pallas_select=False)
+    if args.full_queries:
+        cfg = cfg.replace(map_query_corner=None, map_query_surf=None)
 
     # ---- load data ----
     if args.synthetic:
