@@ -173,6 +173,10 @@ def main():
         # fused Mosaic scan-to-scan association kernels (ops/pallas_assoc)
         # instead of the XLA masked-argmin path — A/B for PARITY.md
         cfg = cfg.replace(use_pallas_assoc=on_tpu)
+    if "--s2m-cand" in sys.argv:
+        # candidate-cache width A/B (exact either way via the d2C bound)
+        cfg = cfg.replace(
+            s2m_cand=int(sys.argv[sys.argv.index("--s2m-cand") + 1]))
     K = 32
     n_chunks = 3
     warmup = 6

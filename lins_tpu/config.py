@@ -151,6 +151,16 @@ class SlamConfig:
     # metric when a scan saturates its cap.
     map_query_corner: int | None = None
     map_query_surf: int | None = None        # merged surf+outlier query set
+    # Candidate-cache width C of the scan-to-map 5-NN (mapping/scan2map.py):
+    # the per-mapping-step gather prunes each query's neighborhood to its
+    # nearest C points and every GN iteration re-ranks that (Q, C) cache.
+    # Cost of BOTH the selection (C+1 min/extract passes in the Pallas
+    # kernel) and the re-rank is linear in C; correctness is C-independent —
+    # the d2C staleness bound triggers an in-loop re-gather whenever pruning
+    # could hide a true neighbor, so accepted matches always equal brute
+    # force.  Smaller C trades cheaper iterations for a tighter bound (more
+    # re-gathers).
+    s2m_cand: int = 64
 
     # --- fixed capacities for static TPU shapes (build-specific) ---
     max_imu_per_scan: int = 64       # IMU samples padded per scan interval (400Hz * 0.1s + slack)

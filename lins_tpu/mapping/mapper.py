@@ -146,9 +146,10 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
             cfg)
 
     def first(_):
-        return t_w, q_w, jnp.int32(0), jnp.int32(0)
+        return t_w, q_w, jnp.int32(0), jnp.int32(0), jnp.int32(0)
 
-    t_m, q_m, iters, n_sel = jax.lax.cond(has_map, refine, first, None)
+    t_m, q_m, iters, n_sel, n_refresh = jax.lax.cond(
+        has_map, refine, first, None)
 
     # transformUpdate (:538-577): blend roll/pitch with the latest IMU
     # attitude (derived from the accelerometer; the reference interpolates
@@ -210,7 +211,8 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
                             bef_pos=odo_pos, bef_quat=odo_quat,
                             aft_pos=t_m, aft_quat=q_m, edges=edges,
                             n_loops=state.n_loops)
-    metrics = dict(iters=iters, n_matches=n_sel, keyframe_added=add,
+    metrics = dict(iters=iters, n_matches=n_sel, n_refresh=n_refresh,
+                   keyframe_added=add,
                    warm_dist=jnp.linalg.norm(t_m - t_w),
                    query_overflow=query_overflow)
     return new_state, t_m, q_m, metrics

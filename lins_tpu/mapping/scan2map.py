@@ -37,10 +37,11 @@ from lins_tpu.ops.grid_nn import (build_grid, gather_candidates,
                                   knn_from_candidates)
 from lins_tpu.ops.lin3 import eigh_sym3x3, solve_sym3x3
 
-# cached candidates per query: tight upper bound on realistic map densities
-# within the ~1.2-2 m gathered neighborhoods (a 0.4 m-leaf plane patch holds
-# ~36, a 0.2 m-leaf edge bundle far fewer); the d2C re-gather bound makes
-# pruning exact regardless
+# default cached candidates per query (one-shot scan_to_map path; the
+# production loop reads cfg.s2m_cand): an upper bound on realistic map
+# densities within the ~1.2-2 m gathered neighborhoods (a 0.4 m-leaf plane
+# patch holds ~36, a 0.2 m-leaf edge bundle far fewer); the d2C re-gather
+# bound makes pruning exact regardless of the width
 _CAND = 64
 
 
@@ -129,7 +130,10 @@ def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
     lidar_mapping_node.cpp:1635-1652) against PREBUILT map hash grids —
     the production path: the mapper caches the grids across mapping steps
     (mapping/local_map.py) and this loop caches the candidate gather across
-    GN iterations (module docstring).  Returns (t, q, iters, n_matches)."""
+    GN iterations (module docstring).  Returns
+    (t, q, iters, n_matches, n_refresh) — n_refresh the number of in-loop
+    cache re-gathers the staleness bounds forced (0 on most steps; the
+    cfg.s2m_cand A/B reads this as its exactness-cost metric)."""
     dtype = t0.dtype
     enough_map = (n_corner_map > 10) & (n_surf_map > 100)
 
@@ -139,13 +143,14 @@ def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
 
     use_pallas = cfg.use_pallas_select
     interp = jax.default_backend() == "cpu"
+    C = getattr(cfg, "s2m_cand", _CAND)
 
     def gather_all(t, q):
         pc, ps = world(t, q)
         cc, cc_ok, cc_d2C, cc_cov = gather_candidates(
-            pc, corner_valid, corner_grid, _CAND, use_pallas, interp)
+            pc, corner_valid, corner_grid, C, use_pallas, interp)
         sc, sc_ok, sc_d2C, sc_cov = gather_candidates(
-            ps, surf_valid, surf_grid, _CAND, use_pallas, interp)
+            ps, surf_valid, surf_grid, C, use_pallas, interp)
         return _Gather(pc, ps, cc, cc_ok, cc_d2C, cc_cov,
                        sc, sc_ok, sc_d2C, sc_cov)
 
@@ -186,13 +191,14 @@ def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
         return jnp.any(valid & (r5 + d > safe))
 
     def body(carry):
-        t, q, it, conv, proj, nm, G = carry
+        t, q, it, conv, proj, nm, nref, G = carry
         pc, ps = world(t, q)
         nn_c, d2_c, nn_s, d2_s = rerank_both(pc, ps, G)
         need = (stale(pc, G.pc, corner_valid, d2_c[:, 4], G.cc_d2C,
                       G.cc_cov)
                 | stale(ps, G.ps, surf_valid, d2_s[:, 4], G.sc_d2C,
                         G.sc_cov))
+        nref = nref + need.astype(jnp.int32)
 
         def refresh(_):
             G2 = gather_all(t, q)
@@ -229,16 +235,18 @@ def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
         delta_r = jnp.linalg.norm(so3.rad2deg(x[0:3]))
         delta_t = jnp.linalg.norm(100.0 * x[3:6])
         conv = do & (delta_r < 0.05) & (delta_t < 0.05)
-        return t, q, it + 1, conv, proj, n_sel.astype(jnp.int32), G
+        return t, q, it + 1, conv, proj, n_sel.astype(jnp.int32), nref, G
 
     def cond(carry):
-        _, _, it, conv, _, _, _ = carry
+        _, _, it, conv, _, _, _, _ = carry
         return (it < cfg.scan2map_iters) & ~conv
 
     init = (t0, q0, jnp.int32(0), jnp.asarray(False),
-            jnp.eye(6, dtype=dtype), jnp.int32(0), gather_all(t0, q0))
-    t, q, iters, _, _, n_sel, _ = jax.lax.while_loop(cond, body, init)
-    return t, q, iters, n_sel
+            jnp.eye(6, dtype=dtype), jnp.int32(0), jnp.int32(0),
+            gather_all(t0, q0))
+    t, q, iters, _, _, n_sel, n_refresh, _ = jax.lax.while_loop(
+        cond, body, init)
+    return t, q, iters, n_sel, n_refresh
 
 
 @partial(jax.jit, static_argnames=("cfg",))

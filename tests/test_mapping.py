@@ -177,7 +177,7 @@ class TestScanToMap:
         # start from a perturbed pose; truth is identity
         t0 = jnp.asarray([0.2, -0.15, 0.1], jnp.float32)
         q0 = so3.exp_axis(jnp.asarray([0.02, -0.02, 0.05], jnp.float32))
-        t, q, iters, n_sel = scan_to_map(
+        t, q, iters, n_sel, _ = scan_to_map(
             t0, q0, corner.xyz.astype(jnp.float32), corner.valid,
             surf.xyz.astype(jnp.float32), surf.valid, cm, cmv, sm, smv, CFG)
         assert int(n_sel) > 100
@@ -191,7 +191,7 @@ class TestScanToMap:
         ev = jnp.zeros(64, bool)
         t0 = jnp.asarray([0.1, 0.0, 0.0], jnp.float32)
         q0 = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
-        t, q, iters, n_sel = scan_to_map(
+        t, q, iters, n_sel, _ = scan_to_map(
             t0, q0, corner.xyz.astype(jnp.float32), corner.valid,
             surf.xyz.astype(jnp.float32), surf.valid, empty, ev, empty, ev,
             CFG)

@@ -82,8 +82,8 @@ def run(use_sel):
     return fn(t0, qq0, qc, qcv, qsur, qsv, cgrid, sgrid, n_c, n_s)
 
 
-tA, qA, itA, nA = run(False)
-tB, qB, itB, nB = run(True)
+tA, qA, itA, nA, _ = run(False)
+tB, qB, itB, nB, _ = run(True)
 res["s2m_t_diff"] = float(jnp.linalg.norm(tA - tB))
 res["s2m_q_dot"] = float(jnp.abs(jnp.sum(qA * qB)))
 res["s2m_iters"] = [int(itA), int(itB)]
