@@ -130,6 +130,13 @@ def optimize(pos, quat, active, edges: EdgeSet, iters: int = 8,
         pos, quat = state
         H, g = build_normal_system(pos, quat, edges)
         dx = solve_and_clamp(H, g, active, prior_w, damping, prior_slot)
+        # failed solve (non-finite dx, e.g. a numerically indefinite system)
+        # degrades to a no-op iteration instead of poisoning every pose —
+        # the NaN-scrub analogue of the reference's guard
+        # (lidar_mapping_node.cpp:738-750); callers additionally reject
+        # whole-solve failures (mapping/mapper._loop_step_impl)
+        good = jnp.all(jnp.isfinite(dx))
+        dx = jnp.where(good, dx, 0.0)
         quat_new = so3.quat_normalize(
             so3.quat_mul(quat, so3.exp_axis(dx[:, 0:3])))
         pos_new = pos + dx[:, 3:6]
@@ -157,12 +164,19 @@ def build_normal_system(pos, quat, edges: EdgeSet):
     Ji_m = jnp.where(ok[..., None], Ji, 0.0)
     Jj_m = jnp.where(ok[..., None], Jj, 0.0)
 
-    Hii = jnp.einsum("eri,erj->eij", Jiw, Ji_m)
-    Hij = jnp.einsum("eri,erj->eij", Jiw, Jj_m)
-    Hji = jnp.einsum("eri,erj->eij", Jjw, Ji_m)
-    Hjj = jnp.einsum("eri,erj->eij", Jjw, Jj_m)
-    gi = jnp.einsum("eri,er->ei", Ji_m, rw)
-    gj = jnp.einsum("eri,er->ei", Jj_m, rw)
+    # precision=HIGHEST: TPU f32 einsums default to bf16 MXU passes; the
+    # ~0.4%-relative block errors they inject make the (ill-conditioned at
+    # hundreds of chain nodes) normal matrix indefinite, and the Cholesky
+    # then emits NaN — the round-4 bigloop 322-keyframe loop-closure solve
+    # NaN'd exactly this way while true-f32 CPU runs of the identical graph
+    # converged (same pathology class as the round-3 distance-matmul bug).
+    hp = jax.lax.Precision.HIGHEST
+    Hii = jnp.einsum("eri,erj->eij", Jiw, Ji_m, precision=hp)
+    Hij = jnp.einsum("eri,erj->eij", Jiw, Jj_m, precision=hp)
+    Hji = jnp.einsum("eri,erj->eij", Jjw, Ji_m, precision=hp)
+    Hjj = jnp.einsum("eri,erj->eij", Jjw, Jj_m, precision=hp)
+    gi = jnp.einsum("eri,er->ei", Ji_m, rw, precision=hp)
+    gj = jnp.einsum("eri,er->ei", Jj_m, rw, precision=hp)
 
     H = jnp.zeros((K, 6, K, 6), dtype)
     H = H.at[edges.i, :, edges.i, :].add(Hii)
@@ -184,8 +198,11 @@ def solve_and_clamp(H, g, active, prior_w, damping, prior_slot=0):
                        jnp.where(active, damping, prior_w))
     Hd = H.reshape(6 * K, 6 * K) + jnp.diag(
         jnp.repeat(diag_w, 6).astype(dtype))
-    dx = -jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(Hd), g.reshape(-1)).reshape(K, 6)
+    # true-f32 blocked Cholesky: the trailing-matrix-update matmuls inside
+    # XLA's factorization otherwise run bf16 on TPU (see build_normal_system)
+    with jax.default_matmul_precision("highest"):
+        dx = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Hd), g.reshape(-1)).reshape(K, 6)
     return jnp.where(active[:, None], dx, 0.0)
 
 
@@ -218,23 +235,25 @@ def _edge_system(pos, quat, edges: EdgeSet):
 
 def _gradient_and_diag(r, Ji, Jj, w, i, j, K):
     """g = J^T W r (K,6) and the block-diagonal of H (K,6,6)."""
-    gi = jnp.einsum("eri,er->ei", Ji, w * r)
-    gj = jnp.einsum("eri,er->ei", Jj, w * r)
+    hp = jax.lax.Precision.HIGHEST
+    gi = jnp.einsum("eri,er->ei", Ji, w * r, precision=hp)
+    gj = jnp.einsum("eri,er->ei", Jj, w * r, precision=hp)
     g = jnp.zeros((K, 6), r.dtype).at[i].add(gi).at[j].add(gj)
-    Dii = jnp.einsum("eri,er,erj->eij", Ji, w, Ji)
-    Djj = jnp.einsum("eri,er,erj->eij", Jj, w, Jj)
+    Dii = jnp.einsum("eri,er,erj->eij", Ji, w, Ji, precision=hp)
+    Djj = jnp.einsum("eri,er,erj->eij", Jj, w, Jj, precision=hp)
     D = jnp.zeros((K, 6, 6), r.dtype).at[i].add(Dii).at[j].add(Djj)
     return g, D
 
 
 def _hv(v, Ji, Jj, w, i, j, diag_w, K):
     """Matrix-free (H + diag) @ v, v (K,6)."""
-    re = (jnp.einsum("erc,ec->er", Ji, v[i])
-          + jnp.einsum("erc,ec->er", Jj, v[j]))
+    hp = jax.lax.Precision.HIGHEST
+    re = (jnp.einsum("erc,ec->er", Ji, v[i], precision=hp)
+          + jnp.einsum("erc,ec->er", Jj, v[j], precision=hp))
     re = w * re
     out = jnp.zeros((K, 6), v.dtype)
-    out = out.at[i].add(jnp.einsum("erc,er->ec", Ji, re))
-    out = out.at[j].add(jnp.einsum("erc,er->ec", Jj, re))
+    out = out.at[i].add(jnp.einsum("erc,er->ec", Ji, re, precision=hp))
+    out = out.at[j].add(jnp.einsum("erc,er->ec", Jj, re, precision=hp))
     return out + diag_w[:, None] * v
 
 
@@ -287,13 +306,15 @@ def optimize_cg(pos, quat, active, edges: EdgeSet, iters: int = 8,
         Dinv = jnp.linalg.inv(D)            # batched 6x6 (block Jacobi)
 
         def Minv(v):
-            return jnp.einsum("kij,kj->ki", Dinv, v)
+            return jnp.einsum("kij,kj->ki", Dinv, v,
+                              precision=jax.lax.Precision.HIGHEST)
 
         def matvec(v):
             return _hv(v, Ji, Jj, w, edges.i, edges.j, diag_w, K)
 
         dx = -_pcg(matvec, Minv, g, cg_iters)
         dx = jnp.where(active[:, None], dx, 0.0)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)  # cf. optimize
         quat_new = so3.quat_normalize(
             so3.quat_mul(quat, so3.exp_axis(dx[:, 0:3])))
         return pos + dx[:, 3:6], quat_new

@@ -255,9 +255,21 @@ def _loop_step_impl(state: MapperState, time, cfg: SlamConfig,
         # leaves its deque clouds stale here — documented improvement)
         ids, ok, wslots = lmn.recent_window_ids(store2, n_window)
         lmap = lmn.rebuild_window(state.lmap, store2, ids, ok, wslots, gp)
-        return state._replace(store=store2, lmap=lmap, edges=edges,
-                              aft_pos=pos[cur_slot], aft_quat=quat[cur_slot],
-                              n_loops=state.n_loops + 1)
+        new = state._replace(store=store2, lmap=lmap, edges=edges,
+                             aft_pos=pos[cur_slot], aft_quat=quat[cur_slot],
+                             n_loops=state.n_loops + 1)
+        # whole-solve failure guard: if the optimizer returned any
+        # non-finite live pose, discard the entire application (edge
+        # included — the next attempt re-measures it) instead of rewriting
+        # the store/map with poison.  Complements the per-iteration no-op
+        # guard in pose_graph.optimize: both exist because one corrupted
+        # solve here propagates NaN into every downstream mapping step
+        # (round-4 bigloop finding).
+        live2 = kf.live_mask(store2)[:, None]
+        good = (jnp.all(jnp.where(live2, jnp.isfinite(pos), True))
+                & jnp.all(jnp.where(live2, jnp.isfinite(quat), True)))
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(good, a, b), new, state)
 
     new_state = jax.lax.cond(accepted, apply, lambda _: state, None)
     info = dict(found=found, accepted=accepted, fitness=fitness, matched=idx)

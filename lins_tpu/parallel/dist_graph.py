@@ -80,7 +80,8 @@ def make_sharded_cg_optimizer(mesh: Mesh, K: int, iters: int = 8,
             Dinv = jnp.linalg.inv(D)
 
             def Minv(v):
-                return jnp.einsum("kij,kj->ki", Dinv, v)
+                return jnp.einsum("kij,kj->ki", Dinv, v,
+                                  precision=jax.lax.Precision.HIGHEST)
 
             def matvec(v):
                 hv_l = pg._hv(v, Ji, Jj, w, edges.i, edges.j, zero_diag, K)
@@ -88,6 +89,8 @@ def make_sharded_cg_optimizer(mesh: Mesh, K: int, iters: int = 8,
 
             dx = -pg._pcg(matvec, Minv, g, cg_iters)
             dx = jnp.where(active[:, None], dx, 0.0)
+            # failed-solve no-op guard (cf. pose_graph.optimize)
+            dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
             quat_new = so3.quat_normalize(
                 so3.quat_mul(quat, so3.exp_axis(dx[:, 0:3])))
             return pos + dx[:, 3:6], quat_new

@@ -9,6 +9,7 @@ from lins_tpu.config import VLP16
 from lins_tpu.geom import so3
 from lins_tpu.graph import (
     add_edge, empty_edges, graph_cost, icp_align, optimize, relative_pose)
+from lins_tpu.graph.pose_graph import optimize_cg
 from lins_tpu.graph.loop_closure import detect_loop
 from lins_tpu.mapping import keyframes as kf
 
@@ -91,6 +92,25 @@ class TestPoseGraph:
         assert err1 < 0.5 * err0
         # gauge: node 0 pinned
         np.testing.assert_allclose(np.asarray(pos2[0]), gt_pos[0], atol=1e-3)
+
+    def test_poisoned_solve_is_noop(self):
+        """A solve whose normal system turns non-finite (here: via a NaN
+        edge measurement; on TPU the round-4 bigloop hit the same state
+        through bf16-matmul corruption of an ill-conditioned 322-node
+        system) must return the INPUT poses unchanged, not NaN — the
+        per-iteration guard in optimize/optimize_cg."""
+        gt_pos, gt_quat, init_pos, init_quat, edges, n = make_drifted_circle()
+        bad_t = jnp.asarray([np.nan, 0.0, 0.0], jnp.float64)
+        idq = jnp.asarray([1.0, 0, 0, 0], jnp.float64)
+        edges_bad = add_edge(edges, 0, n - 1, bad_t, idq, 1e4, 1e4)
+        for opt in (lambda *a: optimize(*a, iters=4),
+                    lambda *a: optimize_cg(*a, iters=2, cg_iters=16)):
+            pos2, quat2 = opt(jnp.asarray(init_pos), jnp.asarray(init_quat),
+                              jnp.int32(n), edges_bad)
+            np.testing.assert_array_equal(np.asarray(pos2), init_pos)
+            dot = np.abs(np.sum(np.asarray(quat2[:n]) * init_quat[:n],
+                                axis=1))
+            np.testing.assert_allclose(dot, 1.0, atol=1e-12)
 
 
 class TestICP:
