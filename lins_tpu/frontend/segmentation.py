@@ -50,8 +50,19 @@ def label_components(rng_img: jnp.ndarray, eligible: jnp.ndarray, cfg: SlamConfi
     Returns (labels (L,S) int32 — flat index of the component representative,
     or _BIG for non-eligible cells).
     """
-    L, S = cfg.line_num, cfg.scan_num
     e_right, e_down = edge_masks(rng_img, eligible, cfg)
+    return label_from_edges(e_right, e_down, eligible)
+
+
+def label_from_edges(e_right: jnp.ndarray, e_down: jnp.ndarray,
+                     eligible: jnp.ndarray):
+    """label_components from precomputed adjacency masks — the XLA
+    union-find propagation with the same (edges -> representative labels)
+    contract as the Mosaic kernel (ops/pallas_label.py), used where that
+    kernel cannot compile (its internal stack exceeds the 16 MB scoped
+    VMEM at 64-row sensors regardless of batch size — round-4 HDL-64
+    finding)."""
+    L, S = eligible.shape
     e_left = jnp.roll(e_right, 1, axis=1)
     e_up = jnp.concatenate([jnp.zeros((1, S), bool), e_down[:-1]])
 

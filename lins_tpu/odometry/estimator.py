@@ -238,13 +238,36 @@ def chunk_rest_impl(labels_k, pre_k, filter_state, global_state, last_surf,
 chunk_rest = jax.jit(chunk_rest_impl, static_argnames=("cfg",))
 
 
+def _kernel_label_fits(L: int, S: int) -> bool:
+    """Whether the Mosaic label kernel's per-instance scoped-VMEM stack fits
+    the 16 MB limit: ~250 B/cell measured (28.6 MB at (64,1800), batch-
+    independent), so 64-row sensors route to the XLA union-find instead."""
+    return 250 * L * S <= 15 * 2 ** 20
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def _label_vmapped(e_right_k, e_down_k, eligible_k, interpret: bool):
     from lins_tpu.ops.pallas_label import label_components_pallas
 
-    return jax.vmap(partial(label_components_pallas,
-                            interpret=interpret))(e_right_k, e_down_k,
-                                                  eligible_k)
+    fn = partial(label_components_pallas, interpret=interpret)
+    # vmap over a grid-less pallas_call keeps the WHOLE (K, L, S) batch of
+    # the 3 operands + output on the Mosaic VMEM stack: 4*K*L*S*4 bytes,
+    # 14.7 MB at the VLP-16 K=32 chunk (fits the 16 MB scoped limit) but
+    # 29.6 MB at HDL-64 K=16 — a hard compile error (round-4 finding, the
+    # first non-VLP-16 end-to-end run).  Sub-batching does NOT help: the
+    # kernel's internal pointer-doubling stack is batch-independent
+    # (measured 28.6 MB scoped at sub-batches of both 8 AND 4 on 64-row
+    # scans), so oversized shapes route through the XLA union-find
+    # propagation instead — same edges -> representative-labels contract
+    # (frontend/segmentation.label_from_edges, parity-tested).
+    K, L, S = eligible_k.shape
+    if 4 * K * L * S * 4 <= 15 * 2 ** 20 and _kernel_label_fits(L, S):
+        return jax.vmap(fn)(e_right_k, e_down_k, eligible_k)
+    from lins_tpu.frontend.segmentation import label_from_edges
+
+    return jax.vmap(label_from_edges)(e_right_k.astype(bool),
+                                      e_down_k.astype(bool),
+                                      eligible_k.astype(bool))
 
 
 def scan_pre_impl(xyz, n_points, cfg: SlamConfig):
@@ -474,10 +497,17 @@ class LinsOdometry:
 
                 pre_out = scan_pre(jnp.asarray(xyz, jnp.float32),
                                    jnp.int32(n_points), self.cfg)
-                labels = label_components_pallas(
-                    pre_out["e_right"], pre_out["e_down"],
-                    pre_out["eligible"],
-                    interpret=jax.default_backend() == "cpu")
+                if _kernel_label_fits(self.cfg.line_num, self.cfg.scan_num):
+                    labels = label_components_pallas(
+                        pre_out["e_right"], pre_out["e_down"],
+                        pre_out["eligible"],
+                        interpret=jax.default_backend() == "cpu")
+                else:   # 64-row sensors: see _kernel_label_fits
+                    from lins_tpu.frontend.segmentation import \
+                        label_from_edges
+                    labels = jax.jit(label_from_edges)(
+                        pre_out["e_right"], pre_out["e_down"],
+                        pre_out["eligible"])
                 (self.filter_state, self.global_state, self.last_surf,
                  self.last_corner, rel_rn, rel_qbn, metrics,
                  self.last_outlier) = scan_rest(

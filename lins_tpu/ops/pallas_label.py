@@ -14,6 +14,13 @@ kernel runs the whole closure in VMEM with log-shift propagation:
     row/column zigzag depth is ≤ n_alt (validated against the exact XLA
     union-find labeling on raycast scans).
 
+Sized for 16-row sensors: on 64-row grids the default n_alt=5 can leave
+deep zigzag components unconverged (adversarial random-graph case needs 8;
+tests/test_frontend.py pins kernel-vs-XLA parity), and the kernel's scoped
+VMEM stack (~250 B/cell, batch-independent) exceeds the 16 MB limit at
+(64, 1800) anyway — estimator._kernel_label_fits routes such shapes to the
+XLA path (frontend/segmentation.label_from_edges, identical contract).
+
 No gathers, no scatters — only rolls, compares, min — i.e. pure VPU work.
 """
 from __future__ import annotations

@@ -67,6 +67,9 @@ def main():
 
     ap.add_argument("--chunk", type=positive_int, default=24,
                     help="scans per device dispatch in replay mode")
+    ap.add_argument("--imu-noise-scale", type=float, default=1.0,
+                    help="multiplier on the --imu-noise noise densities and "
+                    "biases (drift severity knob for loop-closure studies)")
     ap.add_argument("--imu-noise", action="store_true",
                     help="synthetic only: add IMU noise + fixed biases "
                          "(acc 0.02 m/s^2, gyr 0.002 rad/s) so odometry "
@@ -121,8 +124,10 @@ def main():
     if args.synthetic:
         from lins_tpu.datasets import synthetic as syn
         cfg = cfg.replace(max_points=min(cfg.max_points, cfg.grid_size))
-        noise = (dict(acc_noise=0.02, gyr_noise=0.002,
-                      ba=(0.05, -0.03, 0.02), bw=(0.002, -0.001, 0.0015))
+        s = args.imu_noise_scale
+        noise = (dict(acc_noise=0.02 * s, gyr_noise=0.002 * s,
+                      ba=tuple(s * v for v in (0.05, -0.03, 0.02)),
+                      bw=tuple(s * v for v in (0.002, -0.001, 0.0015)))
                  if args.imu_noise else {})
         data = syn.generate_sequence(cfg, n_scans=args.scans or 40,
                                      kind=args.synthetic, speed=args.speed,
@@ -202,12 +207,37 @@ def main():
     )
     if slam.mapper is not None and not args.no_state:
         summary["state_save_s"] = state_save_s
+    if slam.mapper is not None:
+        # FINAL keyframe trajectory — the loop-corrected map poses.  The
+        # causal stream above never rewrites published poses (the
+        # reference's /integrated_to_init), so on a long single revisit
+        # most of its ATE is pre-loop drift; the corrected keyframe poses
+        # are what the map (and any relocalization against it) actually
+        # uses, and the standard basis for final-estimate evaluation.
+        st = slam.mapper.state.store
+        K = st.capacity
+        count = int(np.asarray(st.count))
+        ids = np.arange(max(count - K, 0), count)
+        slots = ids % K
+        kf_t = np.asarray(st.time)[slots]
+        kf_p = np.asarray(st.pos)[slots]
+        kf_q = np.asarray(st.quat)[slots]
+        traj.write_tum(os.path.join(args.out, "trajectory_kf.tum"),
+                       kf_t, kf_p, kf_q)
+
     if "gt_pos" in data:
         gt = np.asarray(data["gt_pos"])[1:1 + len(ps)]
         gt_q = np.asarray(data["gt_quat"])[1:1 + len(ps)]
         summary["ate_rmse_m"] = round(traj.ate(ps, gt, align=True), 4)
         summary["rpe_m"] = round(traj.rpe(ps, gt, est_quat=qs,
                                           gt_quat=gt_q), 4)
+        if slam.mapper is not None and len(kf_t):
+            # gt at each keyframe's scan time (scan end-time grid)
+            ji = np.clip(np.searchsorted(np.round(ts, 6),
+                                         np.round(kf_t, 6)),
+                         0, len(ps) - 1)
+            summary["ate_kf_m"] = round(traj.ate(kf_p, gt[ji], align=True),
+                                        4)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

@@ -90,3 +90,28 @@ def test_zigzag_component():
                                      interpret=True)
     vals = np.asarray(labels)[np.asarray(eligible)]
     assert len(np.unique(vals)) == 1
+
+
+def test_xla_label_from_edges_parity():
+    """label_from_edges (the XLA union-find the estimator routes 64-row
+    sensors to — the Mosaic kernel's scoped stack exceeds VMEM there) has
+    the identical edges -> representative-labels contract.  Random
+    production-consistent edge graphs (edges only between eligible cells);
+    adversarial random graphs need n_alt=8 (the default 5 covers the
+    zigzag depths real raycast scans produce, not these)."""
+    from lins_tpu.frontend.segmentation import label_from_edges
+
+    rng = np.random.default_rng(0)
+    for L, S_, n_alt in ((16, 256, 5), (16, 1800, 8), (64, 360, 8)):
+        el = rng.integers(0, 2, (L, S_)).astype(bool)
+        er = rng.integers(0, 2, (L, S_)).astype(bool) & el \
+            & np.roll(el, -1, axis=1)
+        ed = rng.integers(0, 2, (L, S_)).astype(bool) & el
+        ed[:-1] &= el[1:]
+        ed[-1] = False
+        a = np.asarray(label_components_pallas(
+            jnp.asarray(er), jnp.asarray(ed), jnp.asarray(el),
+            n_alt=n_alt, interpret=True))
+        b = np.asarray(label_from_edges(jnp.asarray(er), jnp.asarray(ed),
+                                        jnp.asarray(el)))
+        np.testing.assert_array_equal(a, b, err_msg=f"{L}x{S_}")
