@@ -153,6 +153,21 @@ def bench_slam(cfg, data, K=32, n_chunks=3, warmup=6):
 def main():
     import sys
 
+    if "--selfcheck" in sys.argv:
+        # on-device accuracy canary (CPU-vs-TPU single-step differential +
+        # Mosaic compile probe, tools/selfcheck.py) before benchmarking —
+        # exits nonzero on mismatch so a silent-lowering regression can
+        # never ship a headline number
+        import os
+        import subprocess
+
+        rc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "selfcheck.py")]).returncode
+        if rc != 0:
+            raise SystemExit(rc)
+
     import jax
 
     from lins_tpu.utils.compile_cache import enable_compilation_cache
@@ -175,8 +190,13 @@ def main():
         cfg = cfg.replace(use_pallas_assoc=on_tpu)
     if "--s2m-cand" in sys.argv:
         # candidate-cache width A/B (exact either way via the d2C bound)
-        cfg = cfg.replace(
-            s2m_cand=int(sys.argv[sys.argv.index("--s2m-cand") + 1]))
+        i = sys.argv.index("--s2m-cand")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--s2m-cand requires a value")
+        width = int(sys.argv[i + 1])
+        if width < 1:
+            raise SystemExit("--s2m-cand must be a positive int")
+        cfg = cfg.replace(s2m_cand=width)
     K = 32
     n_chunks = 3
     warmup = 6

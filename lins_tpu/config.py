@@ -105,6 +105,12 @@ class SlamConfig:
     history_keyframe_search_num: int = 25
     history_keyframe_fitness_score: float = 0.3
     loop_closure_enabled: bool = True
+    # With loop_closure_enabled=True but loop_attempts=False the mapper keeps
+    # the recent-keyframe window (the reference's loop-closure-mode local map,
+    # lidar_mapping_node.cpp:1205-1246) but never fires the 1 Hz loop thread —
+    # the "window, no loops" baseline of the LC necessity matrix.  The
+    # reference couples both to one flag (loopClosureEnableFlag).
+    loop_attempts: bool = True
     loop_time_gate: float = 30.0             # min age of loop candidates (s)
     # loop ICP budget: coarse-to-fine gate max_corr -> 1 m over `iters`
     # (the reference's PCL ICP runs 100 m / 100 iters,
@@ -132,6 +138,34 @@ class SlamConfig:
     # (~0.1-0.3 m RMS at 0.4 m leaves) even for mm-accurate pose alignment;
     # the scale converts it into a pose-uncertainty-like variance.
     pg_loop_var_scale: float = 0.01
+    # Robust (Huber) loss on LOOP edges in the pose-graph solve, in
+    # SOLVE-WEIGHT Mahalanobis-sigma units (0 disables).  A loop edge whose
+    # weighted residual norm exceeds this is IRLS-downweighted by
+    # delta/||r||_W each GN iteration, so a bad edge that slips past the
+    # fitness+consistency gates degrades gracefully instead of entering
+    # least squares at full weight.  Units: the solve weight w=1/(fitness *
+    # pg_loop_var_scale) implies a sigma 1/sqrt(pg_loop_var_scale) = 10x
+    # TIGHTER than the honest ICP alignment sigma sqrt(fitness); 15 here
+    # = 1.5 honest sigmas, which keeps genuine drift corrections (a few
+    # honest sigmas at their first solve) essentially quadratic while
+    # multi-sigma misalignments saturate.  (Measured: delta=1.5 in solve
+    # units capped a constructed 0.58 m true closure at 28% corrected —
+    # the Huber force balance, not slow convergence.)  Odometry edges
+    # (j == i+1) stay quadratic — chain-redundant and self-consistent.
+    # The reference has no robust loss (gtsam noise models are plain
+    # Gaussian, lidar_mapping_node.cpp:1160-1184).
+    pg_loop_huber: float = 15.0
+    # Only run the pose-graph solve + keyframe/window rewrite when the loop
+    # edge's implied correction of the current pose exceeds this (meters);
+    # smaller accepted edges are still ADDED to the graph (they stiffen it
+    # and are incorporated by the next triggered or final solve) but don't
+    # churn the live map.  This is iSAM2's relinearizeThreshold idea
+    # (lidar_mapping_node.cpp:248-250, 0.01 rad/m there): the round-4
+    # 2.2-lap bigloop ran 55 solves whose re-rewrites put 26 >5 cm jumps
+    # (2.8 m total) into the causal stream and 2 local-jitter spikes, while
+    # the post-first-closure corrections were mostly sub-5 cm.  0 = solve
+    # on every accepted loop (round-4 behavior).
+    loop_rewrite_min_m: float = 0.05
     keyframe_gate_meters: float = 0.3        # lidar_mapping_node.cpp:1660-1667
     map_corner_leaf: float = 0.2             # lidar_mapping_node.cpp:283-291
     map_surf_leaf: float = 0.4

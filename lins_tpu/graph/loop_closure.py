@@ -154,10 +154,12 @@ def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
                    submap_cap: int = 16384, cloud_cap: int = 8192):
     """Detect + align one loop candidate (performLoopClosure :1114-1186).
 
-    Returns (matched_id, found, accepted, t_rel, q_rel, fitness) where ids
-    are ABSOLUTE keyframe ids (ring store) and (t_rel, q_rel) is the
+    Returns (matched_id, found, accepted, t_rel, q_rel, fitness, corr_t)
+    where ids are ABSOLUTE keyframe ids (ring store), (t_rel, q_rel) is the
     measured transform from the matched keyframe to the corrected current
-    keyframe pose."""
+    keyframe pose, and corr_t is the edge's implied translation correction
+    of the current pose (the measured drift; drives the solve-vs-add-only
+    decision in mapper._loop_step_impl)."""
     dtype = store.pos.dtype
     K = store.capacity
     idx, found = detect_loop(store, cur, cur_time, cfg)
@@ -226,8 +228,12 @@ def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
         src = so3.quat_rotate(q_icp[None, :], cloud_ds) + t[None, :]
         # cap=64 (=> 27*64-wide select blocks, the production mapping-grid
         # shape): cap=96 put the Mosaic select kernel 88 KB over the 16 MB
-        # scoped-VMEM limit at this Q; a 1.2 m cell holds <= 27 centroids
-        # at the 0.4 m submap leaf, so 64 slots cannot overflow
+        # scoped-VMEM limit at this Q.  A 1.2 m cell holds <= 27 centroids
+        # at the 0.4 m submap leaf, so a single cell cannot overflow 64
+        # slots; 3+ near-full cells hash-colliding into one table bucket
+        # could (table=8192), silently dropping candidates — benign for
+        # this polish (a handful of queries lose some neighbors), not
+        # covered by the d2C exactness bound (advisor r4)
         grid = build_grid(submap, submap_ok, cell=1.2, table=8192, cap=64)
         n_sub = jnp.sum(submap_ok)
         no_corner = jnp.zeros((8, 3), dtype)
@@ -275,4 +281,4 @@ def try_close_loop(store: kf.KeyframeStore, cur, cur_time, cfg: SlamConfig,
                   & (corr_rot <= cfg.loop_consistency_rot_max))
     accepted = (found & (fitness < cfg.history_keyframe_fitness_score)
                 & consistent)
-    return idx, found, accepted, t_rel, q_rel, fitness
+    return idx, found, accepted, t_rel, q_rel, fitness, corr_t

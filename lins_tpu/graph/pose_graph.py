@@ -115,20 +115,36 @@ def _active_mask(active, K):
     return active
 
 
-@partial(jax.jit, static_argnames=("iters",))
+def _robust_scale(r, w, edges: EdgeSet, huber_delta: float, K: int):
+    """Per-edge IRLS Huber weight on LOOP edges (odometry between-factors
+    are always consecutive ids, mapper._mapping_step_impl; modulo-K
+    adjacency so ring-slot endpoints from live_view — where the wrap edge
+    is (K-1, 0) — classify correctly).  r (E,6) residuals, w (E,6)
+    information weights; returns (E,) scales in (0, 1] —
+    min(1, delta/||r||_W), the standard Huber IRLS factor."""
+    if huber_delta <= 0.0:
+        return jnp.ones(r.shape[0], r.dtype)
+    rnorm = jnp.sqrt(jnp.maximum(jnp.sum(w * r * r, axis=1), 1e-30))
+    is_loop = ((edges.j - edges.i) % K) != 1
+    scale = jnp.minimum(1.0, huber_delta / rnorm)
+    return jnp.where(is_loop, scale, 1.0).astype(r.dtype)
+
+
+@partial(jax.jit, static_argnames=("iters", "huber_delta"))
 def optimize(pos, quat, active, edges: EdgeSet, iters: int = 8,
              prior_w: float = 1e6, damping: float = 1e-6,
-             prior_slot=0):
+             prior_slot=0, huber_delta: float = 0.0):
     """Batched GN over the pose graph.  pos (K,3), quat (K,4); `active` is
     a node count or a (K,) live mask (ring stores); `prior_slot` carries the
     gauge prior (the oldest live node once node 0 has been evicted).
-    Returns (pos, quat)."""
+    huber_delta > 0 enables the IRLS Huber loss on loop edges
+    (_robust_scale).  Returns (pos, quat)."""
     K = pos.shape[0]
     active = _active_mask(active, K)
 
     def gn_iter(_, state):
         pos, quat = state
-        H, g = build_normal_system(pos, quat, edges)
+        H, g = build_normal_system(pos, quat, edges, huber_delta)
         dx = solve_and_clamp(H, g, active, prior_w, damping, prior_slot)
         # failed solve (non-finite dx, e.g. a numerically indefinite system)
         # degrades to a no-op iteration instead of poisoning every pose —
@@ -145,11 +161,12 @@ def optimize(pos, quat, active, edges: EdgeSet, iters: int = 8,
     return jax.lax.fori_loop(0, iters, gn_iter, (pos, quat))
 
 
-def build_normal_system(pos, quat, edges: EdgeSet):
+def build_normal_system(pos, quat, edges: EdgeSet, huber_delta: float = 0.0):
     """Dense block normal equations (H (K,6,K,6), g (K,6)) from an edge set.
 
     Pure edge-parallel reduction — the distributed solver shards edges over
-    devices, runs this per shard, and psum-reduces the outputs."""
+    devices, runs this per shard, and psum-reduces the outputs.
+    huber_delta > 0 IRLS-downweights loop edges (_robust_scale)."""
     K = pos.shape[0]
     dtype = pos.dtype
     p_i, q_i = pos[edges.i], quat[edges.i]
@@ -157,6 +174,7 @@ def build_normal_system(pos, quat, edges: EdgeSet):
 
     r, Ji, Jj, w = jax.vmap(_edge_blocks)(
         p_i, q_i, p_j, q_j, edges.t, edges.q, edges.w_rot, edges.w_pos)
+    w = w * _robust_scale(r, w, edges, huber_delta, K)[:, None]
     ok = edges.valid[:, None]
     rw = jnp.where(edges.valid[:, None], r * w, 0.0)
     Jiw = jnp.where(ok[..., None], Ji * w[:, :, None], 0.0)
@@ -219,12 +237,14 @@ def solve_and_clamp(H, g, active, prior_w, damping, prior_slot=0):
 # equivalent at scale.)
 
 
-def _edge_system(pos, quat, edges: EdgeSet):
-    """Per-edge residuals/Jacobians + weights, masked. (E,6),(E,6,6)x2,(E,6)."""
+def _edge_system(pos, quat, edges: EdgeSet, huber_delta: float = 0.0):
+    """Per-edge residuals/Jacobians + weights, masked. (E,6),(E,6,6)x2,(E,6).
+    huber_delta > 0 IRLS-downweights loop edges (_robust_scale)."""
     p_i, q_i = pos[edges.i], quat[edges.i]
     p_j, q_j = pos[edges.j], quat[edges.j]
     r, Ji, Jj, w = jax.vmap(_edge_blocks)(
         p_i, q_i, p_j, q_j, edges.t, edges.q, edges.w_rot, edges.w_pos)
+    w = w * _robust_scale(r, w, edges, huber_delta, pos.shape[0])[:, None]
     ok = edges.valid
     r = jnp.where(ok[:, None], r, 0.0)
     Ji = jnp.where(ok[:, None, None], Ji, 0.0)
@@ -284,10 +304,11 @@ def _pcg(matvec, Minv, b, iters: int):
     return x
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "huber_delta"))
 def optimize_cg(pos, quat, active, edges: EdgeSet, iters: int = 8,
                 cg_iters: int = 64, prior_w: float = 1e6,
-                damping: float = 1e-3, prior_slot=0):
+                damping: float = 1e-3, prior_slot=0,
+                huber_delta: float = 0.0):
     """Sparse pose-graph GN: same problem as `optimize`, solved matrix-free
     with block-Jacobi-preconditioned CG — O(E) memory instead of O((6K)^2),
     handles K=4096+ where the dense path cannot allocate."""
@@ -300,7 +321,7 @@ def optimize_cg(pos, quat, active, edges: EdgeSet, iters: int = 8,
 
     def gn_iter(_, state):
         pos, quat = state
-        r, Ji, Jj, w = _edge_system(pos, quat, edges)
+        r, Ji, Jj, w = _edge_system(pos, quat, edges, huber_delta)
         g, D = _gradient_and_diag(r, Ji, Jj, w, edges.i, edges.j, K)
         D = D + jnp.eye(6, dtype=dtype)[None] * diag_w[:, None, None]
         Dinv = jnp.linalg.inv(D)            # batched 6x6 (block Jacobi)

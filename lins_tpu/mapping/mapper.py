@@ -229,15 +229,27 @@ def _loop_step_impl(state: MapperState, time, cfg: SlamConfig,
     cur = jnp.maximum(store.count - 1, 0)          # absolute id
     cur_slot = (cur % K).astype(jnp.int32)
     enough = store.count > 2
-    idx, found, accepted, t_rel, q_rel, fitness = lc.try_close_loop(
+    idx, found, accepted, t_rel, q_rel, fitness, corr_t = lc.try_close_loop(
         store, cur, time, cfg, submap_cap, cloud_cap)
     accepted = accepted & enough
 
+    # every accepted edge enters the graph; the SOLVE + keyframe/window
+    # rewrite only runs when the edge's implied correction is worth the
+    # causal-stream discontinuity it causes (loop_rewrite_min_m — iSAM2's
+    # relinearization-threshold idea; small confirmations accumulate and
+    # are incorporated by the next triggered or final solve)
+    var = jnp.maximum(fitness * cfg.pg_loop_var_scale,
+                      jnp.asarray(1e-6, fitness.dtype))
+    w = 1.0 / var
+    edges_new = pg.add_edge(state.edges, idx, cur, t_rel, q_rel, w, w)
+    state1 = state._replace(
+        edges=jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accepted, a, b), edges_new, state.edges),
+        n_loops=state.n_loops + accepted.astype(jnp.int32))
+    solve = accepted & (corr_t >= cfg.loop_rewrite_min_m)
+
     def apply(_):
-        var = jnp.maximum(fitness * cfg.pg_loop_var_scale,
-                          jnp.asarray(1e-6, fitness.dtype))
-        w = 1.0 / var
-        edges = pg.add_edge(state.edges, idx, cur, t_rel, q_rel, w, w)
+        edges = state1.edges
         live = kf.live_mask(store)
         ev = pg.live_view(edges, store.count, K)
         # gauge prior on the oldest live keyframe (node 0 may be evicted)
@@ -246,18 +258,20 @@ def _loop_step_impl(state: MapperState, time, cfg: SlamConfig,
         if K > 1024:
             # dense (6K)^2 Cholesky walls out — matrix-free sparse PCG
             pos, quat = pg.optimize_cg(store.pos, store.quat, live, ev,
-                                       opt_iters, prior_slot=prior_slot)
+                                       opt_iters, prior_slot=prior_slot,
+                                       huber_delta=cfg.pg_loop_huber)
         else:
             pos, quat = pg.optimize(store.pos, store.quat, live, ev,
-                                    opt_iters, prior_slot=prior_slot)
+                                    opt_iters, prior_slot=prior_slot,
+                                    huber_delta=cfg.pg_loop_huber)
         store2 = kf.set_poses(store, pos, quat)
         # re-transform the window from the corrected poses (the reference
         # leaves its deque clouds stale here — documented improvement)
         ids, ok, wslots = lmn.recent_window_ids(store2, n_window)
-        lmap = lmn.rebuild_window(state.lmap, store2, ids, ok, wslots, gp)
-        new = state._replace(store=store2, lmap=lmap, edges=edges,
-                             aft_pos=pos[cur_slot], aft_quat=quat[cur_slot],
-                             n_loops=state.n_loops + 1)
+        lmap = lmn.rebuild_window(state1.lmap, store2, ids, ok, wslots, gp)
+        new = state1._replace(store=store2, lmap=lmap,
+                              aft_pos=pos[cur_slot],
+                              aft_quat=quat[cur_slot])
         # whole-solve failure guard: if the optimizer returned any
         # non-finite live pose, discard the entire application (edge
         # included — the next attempt re-measures it) instead of rewriting
@@ -269,11 +283,52 @@ def _loop_step_impl(state: MapperState, time, cfg: SlamConfig,
         good = (jnp.all(jnp.where(live2, jnp.isfinite(pos), True))
                 & jnp.all(jnp.where(live2, jnp.isfinite(quat), True)))
         return jax.tree_util.tree_map(
-            lambda a, b: jnp.where(good, a, b), new, state)
+            lambda a, b: jnp.where(good, a, b), new, state), good
 
-    new_state = jax.lax.cond(accepted, apply, lambda _: state, None)
-    info = dict(found=found, accepted=accepted, fitness=fitness, matched=idx)
+    new_state, applied = jax.lax.cond(
+        solve, apply, lambda _: (state1, jnp.bool_(False)), None)
+    # `applied` distinguishes edges whose solve actually took effect from
+    # add-only edges (corr_t below the rewrite threshold) and from solves
+    # the whole-solve guard discarded — without it loop telemetry counts
+    # closures that never rewrote anything (advisor r4)
+    info = dict(found=found, accepted=accepted, applied=applied,
+                fitness=fitness, matched=idx, corr_t=corr_t)
     return new_state, info
+
+
+def _final_solve_impl(state: MapperState, cfg: SlamConfig, opt_iters: int,
+                      n_window: int, gp: lmn.GridParams):
+    """One pose-graph solve over ALL accumulated edges + keyframe/window
+    rewrite, with no new measurement — incorporates add-only loop edges
+    (those below loop_rewrite_min_m) into the final-estimate map.  The
+    reference's equivalent is the correctPoses rewrite after its last
+    iSAM2 update (lidar_mapping_node.cpp:1767-1795)."""
+    store = state.store
+    K = store.capacity
+    live = kf.live_mask(store)
+    ev = pg.live_view(state.edges, store.count, K)
+    oldest = jnp.maximum(store.count - K, 0)
+    prior_slot = (oldest % K).astype(jnp.int32)
+    if K > 1024:
+        pos, quat = pg.optimize_cg(store.pos, store.quat, live, ev,
+                                   opt_iters, prior_slot=prior_slot,
+                                   huber_delta=cfg.pg_loop_huber)
+    else:
+        pos, quat = pg.optimize(store.pos, store.quat, live, ev,
+                                opt_iters, prior_slot=prior_slot,
+                                huber_delta=cfg.pg_loop_huber)
+    store2 = kf.set_poses(store, pos, quat)
+    ids, ok, wslots = lmn.recent_window_ids(store2, n_window)
+    lmap = lmn.rebuild_window(state.lmap, store2, ids, ok, wslots, gp)
+    cur_slot = (jnp.maximum(store.count - 1, 0) % K).astype(jnp.int32)
+    new = state._replace(store=store2, lmap=lmap, aft_pos=pos[cur_slot],
+                         aft_quat=quat[cur_slot])
+    live2 = live[:, None]
+    good = (jnp.all(jnp.where(live2, jnp.isfinite(pos), True))
+            & jnp.all(jnp.where(live2, jnp.isfinite(quat), True)))
+    ok_all = good & (store.count > 2)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(ok_all, a, b), new, state)
 
 
 def _mapping_chunk_impl(state: MapperState, rns, qbns, ts,
@@ -324,7 +379,13 @@ def _mapping_chunk_impl(state: MapperState, rns, qbns, ts,
             return st, jax.tree_util.tree_map(
                 lambda x: jnp.zeros(x.shape, x.dtype), out_sd[1])
 
-        st, info = jax.lax.cond(lf, do_loop, skip_loop, st)
+        if cfg.loop_closure_enabled and cfg.loop_attempts:
+            st, info = jax.lax.cond(lf, do_loop, skip_loop, st)
+        else:
+            # static gate: window-no-loop and radius modes never fire loop
+            # attempts (plan_chunk emits all-False flags), so don't compile
+            # the loop program into the chunk step at all
+            st, info = skip_loop(st)
         pos, quat = warm_start(st, rn.astype(st.bef_pos.dtype),
                                qbn.astype(st.bef_quat.dtype))
         return st, (pos, quat, st.aft_pos, st.aft_quat, metrics, info)
@@ -354,11 +415,17 @@ class LinsMapper:
 
     def __init__(self, cfg: SlamConfig, corner_cap=None, surf_cap=None,
                  outlier_cap=None, n_window=None, map_corner_cap=None,
-                 map_surf_cap=None, dtype=jnp.float32):
+                 map_surf_cap=None, submap_cap=None, cloud_cap=None,
+                 dtype=jnp.float32):
         self.cfg = cfg
         self.dtype = dtype
         corner_cap, surf_cap, outlier_cap = derive_caps(
             cfg, corner_cap, surf_cap, outlier_cap)
+        # loop-closure submap / current-cloud capacities scale with the
+        # per-keyframe cloud caps (VLP-16 reproduces the former hardcoded
+        # 16384/8192; TINY-class presets compile much smaller programs)
+        submap_cap = submap_cap or min(16384, 4 * (corner_cap + surf_cap))
+        cloud_cap = cloud_cap or min(8192, 2 * (corner_cap + surf_cap))
         self.caps = (corner_cap, surf_cap, outlier_cap)
         n_window = n_window or cfg.surrounding_keyframe_search_num
         self.n_window = n_window
@@ -380,12 +447,12 @@ class LinsMapper:
             surf_cap=surf_cap, outlier_cap=outlier_cap,
             n_window=n_window, gp=gp))
         self._loop_step = jax.jit(partial(
-            _loop_step_impl, cfg=cfg, submap_cap=16384, cloud_cap=8192,
-            opt_iters=8, n_window=n_window, gp=gp))
+            _loop_step_impl, cfg=cfg, submap_cap=submap_cap,
+            cloud_cap=cloud_cap, opt_iters=8, n_window=n_window, gp=gp))
         self._chunk_step = jax.jit(partial(
             _mapping_chunk_impl, cfg=cfg, corner_cap=corner_cap,
             surf_cap=surf_cap, outlier_cap=outlier_cap, n_window=n_window,
-            gp=gp, submap_cap=16384, cloud_cap=8192, opt_iters=8))
+            gp=gp, submap_cap=submap_cap, cloud_cap=cloud_cap, opt_iters=8))
         self.last_loop_time = -np.inf
         self.loop_info = []
         self._shard_mesh = None
@@ -438,7 +505,7 @@ class LinsMapper:
         args = self._scan_sds(cloud_dtype)
         self._step.lower(sds, *args).compile()
         t = jax.ShapeDtypeStruct((), self.dtype)
-        if self.cfg.loop_closure_enabled:
+        if self.cfg.loop_closure_enabled and self.cfg.loop_attempts:
             self._loop_step.lower(sds, t).compile()
         if chunk:
             p3, q4, _, cx, cv, sx, sv, ox, ov, rp = self._scan_sds(
@@ -492,7 +559,7 @@ class LinsMapper:
             if t - self.last_time >= self.cfg.mapping_process_interval:
                 mf[i] = True
                 self.last_time = t
-            if (self.cfg.loop_closure_enabled
+            if (self.cfg.loop_closure_enabled and self.cfg.loop_attempts
                     and t - self.last_loop_time >= 1.0):
                 lf[i] = True
                 self.last_loop_time = t
@@ -537,7 +604,7 @@ class LinsMapper:
     def maybe_close_loop(self, time: float, time_dev=None):
         """Attempt loop closure at ~1 Hz (loopClosureThread cadence,
         lidar_mapping_node.cpp:1033-1041).  Returns the info dict or None."""
-        if not self.cfg.loop_closure_enabled:
+        if not (self.cfg.loop_closure_enabled and self.cfg.loop_attempts):
             return None
         if time - self.last_loop_time < 1.0:
             return None
@@ -548,6 +615,18 @@ class LinsMapper:
         self.loop_info.append(info)
         self._repin()
         return info
+
+    def final_solve(self):
+        """Pose-graph solve + rewrite over all accumulated edges (see
+        _final_solve_impl).  Call once at end of run, before exporting the
+        keyframe trajectory / global map.  No-op outside recent-window
+        (loop-closure) mode."""
+        if not self.cfg.loop_closure_enabled:
+            return
+        self.state = jax.jit(partial(
+            _final_solve_impl, cfg=self.cfg, opt_iters=8,
+            n_window=self.n_window, gp=self.gp))(self.state)
+        self._repin()
 
     def rebuild_local_map(self):
         """Reconstruct the derived local-map caches (voxel maps + eviction

@@ -89,7 +89,8 @@ def make_sharded_chunk_replay(cfg: SlamConfig, mesh: Mesh, axis: str = "seq"):
 
 def make_sharded_slam_replay(cfg: SlamConfig, mesh: Mesh, axis: str = "seq",
                              n_window: int | None = None,
-                             submap_cap: int = 16384, cloud_cap: int = 8192,
+                             submap_cap: int | None = None,
+                             cloud_cap: int | None = None,
                              opt_iters: int = 8):
     """FULL-pipeline multi-sequence replay sharded over the mesh — the
     round-4 P4 axis covering the headline system (odometry chunk + mapping
@@ -126,6 +127,10 @@ def make_sharded_slam_replay(cfg: SlamConfig, mesh: Mesh, axis: str = "seq",
     from lins_tpu.mapping import mapper as mp
 
     corner_cap, surf_cap, outlier_cap = mp.derive_caps(cfg)
+    # match LinsMapper's derived loop-cloud capacities so the sharded
+    # replay compiles the same program as the single-sequence mapper
+    submap_cap = submap_cap or min(16384, 4 * (corner_cap + surf_cap))
+    cloud_cap = cloud_cap or min(8192, 2 * (corner_cap + surf_cap))
     from lins_tpu.mapping import local_map as lmn
     gp = lmn.grid_params(cfg)
     nw = n_window or cfg.surrounding_keyframe_search_num

