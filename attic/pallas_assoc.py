@@ -1,22 +1,18 @@
-"""Fused scan-to-scan association + normal-equation reduction as a Pallas
-TPU kernel — the flagship per-scan kernel (SURVEY.md C13+C14 fusion).
+"""SUNSET 2026-08-21 — NOT part of the production tree.
 
-One kernel invocation per IESKF iteration computes, without materializing
-anything in HBM:
-
-  de-skew (transform-to-start) -> (TQ,R) distance block (MXU) ->
-  nearest/support-point selection as *normalized equality one-hots*
-  (sel @ ref is an MXU gather — no gather primitive needed) ->
-  point-to-plane residuals + weights -> H rows -> accumulated
-  J6ᵀJ6, J6ᵀr, Σr², match count.
-
-The per-iteration pose constants (Rᵀ of the linearization rotation and the
-inverse left Jacobian) enter through SMEM scalars; the per-point H_att row
-collapses to  cross(-Rᵀ·coeff, q) @ J_l⁻¹  so everything in-kernel is
-elementwise VPU math plus three MXU contractions.  Output blocks map to the
-same tile for every grid step — TPU's sequential grid makes `+=` safe.
-Validated against the XLA association path in tests/test_pallas.py.
+Fused Mosaic scan-to-scan association kernels (de-skew -> ring-window NN ->
+residual rows -> J6'J6/J6'r per tile).  Never executed on the round-2..5
+relay toolchain: round-2/3 compiles hung 40-50 minutes; the round-5 canary
+ladder (tools/r5_assoc_canary.py) finally produced the definitive
+diagnostic in 79 s — the kernel's scoped-VMEM stack is 43.21 MB at even a
+(Q=128, R=256) toy shape vs the 16 MB Mosaic limit, SHAPE-INDEPENDENT, so
+the kernel class as written cannot execute regardless of problem size.
+The production scan-to-scan path is the XLA masked-argmin association
+(odometry/association.py + ieskf._blocks_xla), which is exact and fast
+(225 scans/s odometry).  Revisit only with a fundamentally restructured
+kernel (streamed reference tiles, no per-tile full-R residency).
 """
+
 from __future__ import annotations
 
 import functools

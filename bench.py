@@ -185,9 +185,11 @@ def main():
     cfg = VLP16.replace(max_points=28800, use_pallas=on_tpu,
                         use_pallas_select=on_tpu)
     if "--pallas-assoc" in sys.argv:
-        # fused Mosaic scan-to-scan association kernels (ops/pallas_assoc)
-        # instead of the XLA masked-argmin path — A/B for PARITY.md
-        cfg = cfg.replace(use_pallas_assoc=on_tpu)
+        raise SystemExit(
+            "--pallas-assoc removed: the fused association kernels were "
+            "sunset 2026-08-21 (43.2 MB scoped-VMEM stack vs the 16 MB "
+            "Mosaic limit at ANY shape — tools/r5_assoc_canary.py); see "
+            "attic/pallas_assoc.py")
     if "--s2m-cand" in sys.argv:
         # candidate-cache width A/B (exact either way via the d2C bound)
         i = sys.argv.index("--s2m-cand")

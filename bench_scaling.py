@@ -63,6 +63,10 @@ def main():
     preset = {"vlp16": C.VLP16, "tiny": C.TINY}[args.preset]
     cfg = preset.replace(max_points=28800 if args.preset == "vlp16" else
                          preset.max_points)
+    on_tpu = jax.default_backend() != "cpu"
+    # the headline pipeline's kernel config (bench.py) so the B=1 row is
+    # directly comparable to the bench.py number
+    cfg = cfg.replace(use_pallas=on_tpu, use_pallas_select=on_tpu)
     K = args.chunk
     warmup = 6
     n_scans = warmup + (args.chunks + 1) * K

@@ -49,12 +49,12 @@ class SlamConfig:
     feature_mode: str = "fast"
     # run hot ops as Pallas kernels (TPU; falls back to interpret on CPU)
     use_pallas: bool = False
-    # fused Mosaic association+normal-equation kernels inside the IESKF
-    # iteration (ops/pallas_assoc.py).  Off by default: the remote TPU
-    # relay in this environment crashes on Mosaic kernels embedded in
-    # large fused programs (commit 96a1e37); on locally-attached TPUs
-    # flip this on.  Parity-tested against the XLA path either way.
-    use_pallas_assoc: bool = False
+    # (use_pallas_assoc removed 2026-08-21: the fused Mosaic association
+    # kernels' scoped-VMEM stack is 43.2 MB at even a 128x256 toy shape vs
+    # the 16 MB limit — shape-independent, tools/r5_assoc_canary.py — so
+    # they can never execute on this toolchain.  Code: attic/pallas_assoc.py.
+    # from_dict ignores unknown keys, so configs that still carry the
+    # field load fine.)
     # Mosaic partial-selection kernel for the scan-to-map candidate prune
     # (ops/pallas_select.py; compiles in <1 s — tools/r4_mosaic_canary.py —
     # unlike the assoc kernels above).  Parity-tested vs the XLA sort path.
@@ -313,7 +313,10 @@ def _normalize_reference_yaml(raw: dict) -> dict:
 # gentle/turny/loop full-size synthetic scans: corner queries 87-143 valid
 # of 1024 slots, merged surf queries 1531-2746 of 6144): 3.5x / 1.5x
 # headroom over the observed maxima at 2x / 1.5x less padded work.
-VLP16 = SlamConfig(map_query_corner=512, map_query_surf=4096)
+# s2m_cand=32: the round-5 A/B (out/r5_bench_cand32.log) measured 123.9
+# scans/s vs 115.2 at C=64 — accepted matches are C-independent (the d2C
+# staleness bound re-gathers whenever pruning could hide a true neighbor).
+VLP16 = SlamConfig(map_query_corner=512, map_query_surf=4096, s2m_cand=32)
 
 OS1_64 = SlamConfig(
     line_num=64,
@@ -332,6 +335,12 @@ HDL64 = SlamConfig(  # KITTI-style HDL-64E
     ang_bottom=24.9,
     ground_scan_ind=50,
     max_points=150000,
+    # measured occupancy (tools/r5_query_counts.py, 64x1800 synthetic):
+    # corner queries <= 130 of 1024 slots, merged surf <= 2700 of 6144 —
+    # the same caps as VLP-16 give 4x / 1.5x headroom
+    map_query_corner=512,
+    map_query_surf=4096,
+    s2m_cand=32,
 )
 
 # Reduced-resolution sensor for fast CPU integration tests and long-horizon

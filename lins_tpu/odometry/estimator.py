@@ -263,6 +263,22 @@ def _label_vmapped(e_right_k, e_down_k, eligible_k, interpret: bool):
     K, L, S = eligible_k.shape
     if 4 * K * L * S * 4 <= 15 * 2 ** 20 and _kernel_label_fits(L, S):
         return jax.vmap(fn)(e_right_k, e_down_k, eligible_k)
+    if L % 16 == 0 and _kernel_label_fits(16, S):
+        # 64-row sensors: row-blocked Mosaic labeling + exact seam merge
+        # (ops/pallas_label.label_components_blocked) — 26.7 ms/scan XLA
+        # union-find was 48% of the HDL-64 pipeline (tools/r5_hdl64_prof).
+        # lax.scan, not vmap, over the chunk: the blocked kernel's operand
+        # residency stays one scan's blocks (whole-batch vmap residency is
+        # the same 29.6 MB hard error as the monolithic kernel)
+        from lins_tpu.ops.pallas_label import label_components_blocked
+
+        def body(c, inp):
+            er, ed, el = inp
+            return c, label_components_blocked(er, ed, el,
+                                               interpret=interpret)
+
+        return jax.lax.scan(body, 0,
+                            (e_right_k, e_down_k, eligible_k))[1]
     from lins_tpu.frontend.segmentation import label_from_edges
 
     return jax.vmap(label_from_edges)(e_right_k.astype(bool),
@@ -497,12 +513,20 @@ class LinsOdometry:
 
                 pre_out = scan_pre(jnp.asarray(xyz, jnp.float32),
                                    jnp.int32(n_points), self.cfg)
-                if _kernel_label_fits(self.cfg.line_num, self.cfg.scan_num):
+                L, S = self.cfg.line_num, self.cfg.scan_num
+                interp = jax.default_backend() == "cpu"
+                if _kernel_label_fits(L, S):
                     labels = label_components_pallas(
                         pre_out["e_right"], pre_out["e_down"],
-                        pre_out["eligible"],
-                        interpret=jax.default_backend() == "cpu")
-                else:   # 64-row sensors: see _kernel_label_fits
+                        pre_out["eligible"], interpret=interp)
+                elif L % 16 == 0 and _kernel_label_fits(16, S):
+                    # 64-row sensors: blocked kernel + exact seam merge
+                    from lins_tpu.ops.pallas_label import \
+                        label_components_blocked
+                    labels = label_components_blocked(
+                        pre_out["e_right"], pre_out["e_down"],
+                        pre_out["eligible"], interpret=interp)
+                else:
                     from lins_tpu.frontend.segmentation import \
                         label_from_edges
                     labels = jax.jit(label_from_edges)(

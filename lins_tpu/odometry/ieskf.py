@@ -106,42 +106,12 @@ def _blocks_xla(new_flat, new_sharp, last_surf, last_corner, lin, it,
             jnp.sum(corn.valid).astype(jnp.int32))
 
 
-def _pad128(x, fill=0):
-    n = x.shape[0]
-    pad = (-n) % 128
-    if pad == 0:
-        return x
-    return jnp.concatenate(
-        [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
-
-
-def _blocks_pallas(new_flat, new_sharp, last_surf, last_corner, lin, it,
-                   cfg, dtype):
-    """Fused Mosaic association kernels (ops/pallas_assoc.py): one kernel
-    per feature type computes de-skew -> NN selection -> residual rows ->
-    J6ᵀJ6 / J6ᵀr without materializing the (Q,R) distance matrix or the
-    match rows in HBM.  f32 in-kernel (TPU), cast back to the filter dtype."""
-    from lins_tpu.ops import pallas_assoc as pa
-
-    interp = jax.default_backend() == "cpu"
-    max_d2 = cfg.nearest_feature_search_sq_dist
-    sJ, sr, s2, ns = pa.surf_normal_equations(
-        _pad128(new_flat.xyz), _pad128(new_flat.rel_time),
-        _pad128(new_flat.valid, False),
-        last_surf["xyz"], last_surf["ring"], last_surf["valid"],
-        lin.rn, lin.qbn, it, max_d2=max_d2, interpret=interp,
-        icp_freq=cfg.icp_freq)
-    cJ, cr, c2, nc = pa.corner_normal_equations(
-        _pad128(new_sharp.xyz), _pad128(new_sharp.rel_time),
-        _pad128(new_sharp.valid, False),
-        last_corner["xyz"], last_corner["ring"], last_corner["valid"],
-        lin.rn, lin.qbn, it, max_d2=max_d2, interpret=interp,
-        icp_freq=cfg.icp_freq)
-    scale = cfg.lidar_scale
-    JtJ = (sJ + cJ).astype(dtype)
-    Jtr = (scale * (sr + cr)).astype(dtype)
-    res_norm = (scale * jnp.sqrt(s2 + c2)).astype(dtype)
-    return JtJ, Jtr, res_norm, ns, nc
+# The fused Mosaic association kernels (_blocks_pallas) were sunset
+# 2026-08-21: their scoped-VMEM stack is 43.2 MB at even a 128x256 toy
+# shape vs the 16 MB Mosaic limit — shape-independent, measured by
+# tools/r5_assoc_canary.py — so the kernel class as written cannot execute
+# on this toolchain.  The code lives in attic/pallas_assoc.py; the XLA
+# masked-argmin path below is the production (and only) implementation.
 
 
 def update(filter_state: eskf.FilterState,
@@ -160,7 +130,7 @@ def update(filter_state: eskf.FilterState,
     P_inv = _spd_inverse(Pk, jit_scale)
 
     nominal0 = filter_state
-    blocks = _blocks_pallas if cfg.use_pallas_assoc else _blocks_xla
+    blocks = _blocks_xla
 
     def one_iter(carry):
         lin, it, res_prev, HtH_s, A_inv, conv, div, ns, nc, rn_out = carry

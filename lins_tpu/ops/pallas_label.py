@@ -128,3 +128,73 @@ def label_components_pallas(e_right, e_down, eligible, n_alt: int = 5,
         interpret=interpret,
     )(e_right.astype(jnp.int32), e_down.astype(jnp.int32),
       eligible.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "n_alt",
+                                             "interpret"))
+def label_components_blocked(e_right, e_down, eligible, block_rows: int = 16,
+                             n_alt: int = 5, interpret: bool = False):
+    """Connected components on tall grids via row-blocked Mosaic labeling +
+    an exact union-find seam merge (round-5 HDL-64 throughput fix).
+
+    The monolithic kernel's scoped-VMEM stack (~250 B/cell, batch-
+    independent) exceeds the 16 MB limit at 64-row sensors, and the XLA
+    union-find fallback costs 26.7 ms/scan at (64, 1800) — 48% of the whole
+    HDL-64 pipeline (tools/r5_hdl64_prof.py).  Here the grid is split into
+    L/block_rows row blocks that each fit the kernel comfortably (7.2 MB at
+    (16, 1800)); blocks are labeled independently (cross-seam e_down edges
+    masked out), block labels are globalized by row offset, and components
+    crossing seams are unioned EXACTLY by min-hooking + pointer doubling on
+    the label graph, iterated to a fixpoint.  Same (edges -> representative
+    min-member flat id) contract as label_components_pallas /
+    label_from_edges; parity-pinned in tests/test_pallas_label.py.
+    """
+    L, S = eligible.shape
+    bR = block_rows
+    assert L % bR == 0, (L, bR)
+    nb = L // bR
+    LS = L * S
+
+    er_b = e_right.astype(jnp.int32).reshape(nb, bR, S)
+    el_b = eligible.astype(jnp.int32).reshape(nb, bR, S)
+    ed = e_down.astype(jnp.int32)
+    # mask the seam edges out of the per-block kernel (they connect row
+    # bR-1 of block b to row 0 of block b+1 and are re-applied in the merge)
+    row = jnp.arange(L)[:, None]
+    ed_in = jnp.where((row % bR) == bR - 1, 0, ed).reshape(nb, bR, S)
+
+    kern = functools.partial(label_components_pallas, n_alt=n_alt,
+                             interpret=interpret)
+    lab_b = jax.vmap(kern)(er_b, ed_in, el_b)        # (nb, bR, S) local ids
+    offs = (jnp.arange(nb, dtype=jnp.int32) * bR * S)[:, None, None]
+    lab = jnp.where(lab_b < _BIG, lab_b + offs, _BIG).reshape(L, S)
+
+    # seam pairs: labels on both sides of each kept cross-block edge
+    seam_rows = jnp.arange(nb - 1, dtype=jnp.int32) * bR + (bR - 1)
+    la = lab[seam_rows]                              # (nb-1, S)
+    lb = lab[seam_rows + 1]
+    ok = (ed[seam_rows] > 0) & (la < _BIG) & (lb < _BIG)
+    a = jnp.where(ok, la, LS).reshape(-1)
+    b = jnp.where(ok, lb, LS).reshape(-1)
+
+    parent0 = jnp.arange(LS + 1, dtype=jnp.int32)
+
+    def merge_once(parent):
+        pa, pb = parent[a], parent[b]
+        m = jnp.minimum(pa, pb)
+        parent = parent.at[pa].min(m).at[pb].min(m)
+        parent = parent[parent]
+        return parent[parent]
+
+    def cond(state):
+        parent, prev, changed = state
+        return changed
+
+    def body(state):
+        parent, _, _ = state
+        new = merge_once(parent)
+        return new, parent, jnp.any(new != parent)
+
+    parent, _, _ = jax.lax.while_loop(
+        cond, body, (merge_once(parent0), parent0, jnp.bool_(True)))
+    return jnp.where(lab < _BIG, parent[jnp.minimum(lab, LS)], _BIG)

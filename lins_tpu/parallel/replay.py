@@ -142,8 +142,23 @@ def make_sharded_slam_replay(cfg: SlamConfig, mesh: Mesh, axis: str = "seq",
     def one(odo_state, map_state, xyz_k, n_k, dts, accs, gyrs, valid,
             ts_k, rp_k, mf, lf):
         fs, gs, lsurf, lcorn = odo_state
-        (fs, gs, lsurf, lcorn), outs = est.chunk_scan_step_impl(
-            fs, gs, lsurf, lcorn, xyz_k, n_k, dts, accs, gyrs, valid, cfg)
+        if cfg.use_pallas:
+            # same 3-stage split as LinsOdometry.add_scan_chunk: XLA pre ->
+            # Mosaic label kernel (blocked at 64 rows) -> chunked rest.
+            # Without this the sharded replay ran the label propagation in
+            # XLA only, ~5 ms/scan slower than the headline pipeline
+            # (round-5 reconciliation of BENCH_scaling vs bench.py).
+            pre_k = est.scan_pre_vmap(xyz_k, n_k, cfg)
+            labels_k = est._label_vmapped(
+                pre_k["e_right"], pre_k["e_down"], pre_k["eligible"],
+                jax.default_backend() == "cpu")
+            (fs, gs, lsurf, lcorn), outs = est.chunk_rest_impl(
+                labels_k, pre_k, fs, gs, lsurf, lcorn, dts, accs, gyrs,
+                valid, cfg)
+        else:
+            (fs, gs, lsurf, lcorn), outs = est.chunk_scan_step_impl(
+                fs, gs, lsurf, lcorn, xyz_k, n_k, dts, accs, gyrs, valid,
+                cfg)
         rns, qbns, _, _, _, clouds = outs
         map_state, (pos, quat, _, _, _, _) = map_chunk(
             map_state, rns, qbns, ts_k,

@@ -51,6 +51,15 @@ def main():
                          "of the odometry-consistency gate; raise for "
                          "high-noise courses where true drift exceeds 5%% "
                          "of arc)")
+    ap.add_argument("--loop-fitness", type=float, default=None,
+                    help="override history_keyframe_fitness_score (ICP "
+                         "mean-squared-distance acceptance gate; high IMU "
+                         "noise blurs the map and inflates fitness of "
+                         "CORRECT alignments past the reference's 0.3)")
+    ap.add_argument("--loop-rewrite-min", type=float, default=None,
+                    help="override loop_rewrite_min_m (implied-correction "
+                         "threshold below which an accepted loop edge is "
+                         "add-only, no solve/rewrite)")
     ap.add_argument("--pallas", action="store_true",
                     help="enable Pallas kernels (TPU)")
     ap.add_argument("--no-pallas-select", action="store_true",
@@ -129,6 +138,10 @@ def main():
         cfg = cfg.replace(loop_closure_enabled=True, loop_attempts=False)
     if args.loop_frac is not None:
         cfg = cfg.replace(loop_consistency_frac=args.loop_frac)
+    if args.loop_fitness is not None:
+        cfg = cfg.replace(history_keyframe_fitness_score=args.loop_fitness)
+    if args.loop_rewrite_min is not None:
+        cfg = cfg.replace(loop_rewrite_min_m=args.loop_rewrite_min)
     if args.pallas:
         cfg = cfg.replace(use_pallas=True, use_pallas_select=True)
     if args.no_pallas_select:

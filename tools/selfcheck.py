@@ -31,9 +31,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-POS_TOL_M = 2e-3      # f32 CPU-vs-TPU reassociation noise is ~1e-5-1e-4;
-                      # the r3/r4 miscompile class produced >= 1e-2 per step
+POS_TOL_M = 1e-3      # single-GN-iteration f32 CPU-vs-TPU reassociation
+                      # noise is ~1e-5; the r3/r4 miscompile class flips
+                      # nearest neighbors, i.e. >= 1e-2-scale steps.
+                      # (The canary pins scan2map_iters=1: run to
+                      # convergence, ~1e-6 arithmetic differences compound
+                      # through the NN gates — measured 0.011 m pose drift
+                      # and 3% match-count drift on known-good code, all
+                      # chaos amplification, no signal.)
 ROT_TOL = 1e-3
+N_MATCH_TOL = 0.01    # fraction of matches allowed to differ (gate ties)
 
 
 def run_half(which):
@@ -55,9 +62,18 @@ def run_half(which):
     from lins_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    # the production TPU entry config (bench.py) vs the production CPU path
-    cfg = VLP16.replace(max_points=28800, use_pallas=on_tpu,
-                        use_pallas_select=on_tpu)
+    # the production TPU entry config (bench.py) on BOTH halves — the
+    # kernels run in interpret mode on CPU (exact-parity-tested), so the
+    # two halves execute the SAME program and differ only in device
+    # arithmetic.  (Running the CPU half on its own use_pallas=False path
+    # compares set-equal-but-order-different pipelines: representative
+    # labels, feature ordering, and voxel truncation all differ, and the
+    # first probe measured 1.5 cm / 4% match drift of pure comparison
+    # noise.)  scan2map_iters=1: a single GN iteration keeps the
+    # comparison deterministic-modulo-arithmetic — the full iterated
+    # solve is chaotic and drowns the miscompile signal.
+    cfg = VLP16.replace(max_points=28800, use_pallas=True,
+                        use_pallas_select=True, scan2map_iters=1)
     fe = make_frontend(cfg)
     data = syn.generate_sequence(cfg, n_scans=6, kind="gentle", speed=1.5)
     pose_fn = data["pose_fn"]
@@ -107,7 +123,9 @@ def select_compile_probe(timeout_s=120):
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
                            capture_output=True, text=True)
         ok = "COMPILE_OK" in r.stdout
-        return ok, (r.stdout + r.stderr).strip().splitlines()[-1:]
+        line = [l for l in r.stdout.splitlines() if "COMPILE_OK" in l]
+        return ok, (line if ok
+                    else (r.stdout + r.stderr).strip().splitlines()[-1:])
     except subprocess.TimeoutExpired:
         return False, [f"select-kernel compile exceeded {timeout_s}s"]
 
@@ -142,7 +160,7 @@ def main():
         worst_pos, worst_rot = max(worst_pos, dp), max(worst_rot, dq)
         if (dp > POS_TOL_M or dq > ROT_TOL
                 or abs(dv["n_matches"] - cv["n_matches"])
-                > 0.02 * max(cv["n_matches"], 1)):
+                > N_MATCH_TOL * max(cv["n_matches"], 1)):
             mism.append(dict(step=step, dpos=dp, dquat=dq,
                              n_dev=dv["n_matches"], n_cpu=cv["n_matches"]))
 
