@@ -112,6 +112,15 @@ class SlamConfig:
     # reference couples both to one flag (loopClosureEnableFlag).
     loop_attempts: bool = True
     loop_time_gate: float = 30.0             # min age of loop candidates (s)
+    # Local-map selection while loop closure is enabled: "recent" follows
+    # the reference (last n_window keyframes,
+    # lidar_mapping_node.cpp:1205-1246); "radius" uses the 50 m-radius
+    # nearest-keyframe selection in LC mode too, so on a revisit the
+    # scan-to-map GN relocalizes directly against the (loop-corrected) old
+    # map instead of only the trailing window — the round-5 matrix showed
+    # the radius map is what made the no-LC radius mode causally strongest
+    # on multi-lap courses (bigloop2: 0.362 vs LC-recent 0.426).
+    lc_map_mode: str = "recent"
     # loop ICP budget: coarse-to-fine gate max_corr -> 1 m over `iters`
     # (the reference's PCL ICP runs 100 m / 100 iters,
     # lidar_mapping_node.cpp:1127-1138; candidates sit within the 5 m

@@ -96,6 +96,9 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
     odo_pos = odo_pos.astype(dtype)
     odo_quat = odo_quat.astype(dtype)
     radius_mode = not cfg.loop_closure_enabled
+    # radius-SELECTED map (vs the recent-keyframe ring) — always in radius
+    # mode, and in LC mode when lc_map_mode == "radius" (config.py)
+    radius_map = radius_mode or cfg.lc_map_mode == "radius"
 
     t_w, q_w = warm_start(state, odo_pos, odo_quat)
 
@@ -123,7 +126,7 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
     query_overflow = jnp.any(c_ok[qc_cap:]) | jnp.any(st_ok[qs_cap:])
 
     lmap = state.lmap
-    if radius_mode:
+    if radius_map:
         # 50 m-radius window, rebuilt only when the selected keyframe set
         # changes (extractSurroundingKeyFrames else-branch, :1248-1324)
         ids, okm = lmn.select_radius(
@@ -174,7 +177,7 @@ def _mapping_step_impl(state: MapperState, odo_pos, odo_quat, time,
         new_id = store.count
         store2 = kf.add_keyframe(store, t_m, q_m, time, c_ds, c_ok,
                                  s_ds, s_ok, o_ds, o_ok)
-        if not radius_mode:
+        if not radius_map:
             # recent-window incremental insert (evict-subtract + add-scatter,
             # ops/voxel_map.py); in radius mode the next step's selection
             # picks the new keyframe up instead
@@ -267,7 +270,14 @@ def _loop_step_impl(state: MapperState, time, cfg: SlamConfig,
         store2 = kf.set_poses(store, pos, quat)
         # re-transform the window from the corrected poses (the reference
         # leaves its deque clouds stale here — documented improvement)
-        ids, ok, wslots = lmn.recent_window_ids(store2, n_window)
+        if cfg.lc_map_mode == "radius":
+            # refresh the CURRENT radius selection at the corrected poses
+            # (the next mapping step re-selects around the corrected pose)
+            ids = state1.lmap.sel
+            ok = ids >= 0
+            wslots = jnp.arange(n_window, dtype=jnp.int32)
+        else:
+            ids, ok, wslots = lmn.recent_window_ids(store2, n_window)
         lmap = lmn.rebuild_window(state1.lmap, store2, ids, ok, wslots, gp)
         new = state1._replace(store=store2, lmap=lmap,
                               aft_pos=pos[cur_slot],
@@ -318,7 +328,12 @@ def _final_solve_impl(state: MapperState, cfg: SlamConfig, opt_iters: int,
                                 opt_iters, prior_slot=prior_slot,
                                 huber_delta=cfg.pg_loop_huber)
     store2 = kf.set_poses(store, pos, quat)
-    ids, ok, wslots = lmn.recent_window_ids(store2, n_window)
+    if cfg.lc_map_mode == "radius":
+        ids = state.lmap.sel
+        ok = ids >= 0
+        wslots = jnp.arange(n_window, dtype=jnp.int32)
+    else:
+        ids, ok, wslots = lmn.recent_window_ids(store2, n_window)
     lmap = lmn.rebuild_window(state.lmap, store2, ids, ok, wslots, gp)
     cur_slot = (jnp.maximum(store.count - 1, 0) % K).astype(jnp.int32)
     new = state._replace(store=store2, lmap=lmap, aft_pos=pos[cur_slot],
@@ -636,7 +651,9 @@ class LinsMapper:
         sel=-1 forces the rebuild there)."""
         fresh = lmn.empty_local_map(self.cfg, self.n_window, *self.caps,
                                     self.dtype, self.gp)
-        if self.cfg.loop_closure_enabled:
+        if self.cfg.loop_closure_enabled and self.cfg.lc_map_mode != "radius":
+            # radius-selected maps (either mode) defer to the next mapping
+            # step's selection — fresh sel=-1 forces the rebuild there
             ids, ok, wslots = lmn.recent_window_ids(self.state.store,
                                                     self.n_window)
             fresh = jax.jit(lmn.rebuild_window, static_argnames=("gp",))(

@@ -58,13 +58,36 @@ class _Gather(NamedTuple):
     sc_cov: jnp.ndarray
 
 
+# NOTE on contraction style in this file: every small contraction in the
+# residual-fit path is written as explicit multiply+sum, NOT einsum/matmul.
+# TPU f32 einsums default to bf16 MXU passes; at world coordinates of tens
+# of meters that is 0.05-0.1 m of error INSIDE the plane-validity and
+# s-weight gates — the round-5 selfcheck canary measured 86/2279 match
+# flips and 1.5 cm/step pose error from exactly this (the same silent-
+# accuracy class round 3 fixed in association/top_k, missed here).
+# precision=HIGHEST is NOT the fix: a HIGHEST einsum adjacent to this loop
+# came back WRONG inside the fused program on this toolchain (round-4 ban,
+# ops/grid_nn.py:334-373).  Explicit mul+sum lowers to the VPU as exact
+# f32 and is faster than an MXU trip at these tiny sizes anyway.
+
+
+def _dot(a, b):
+    """Exact-f32 inner product over the last axis (VPU, no MXU lowering)."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def _outer_sum(x):
+    """(..., k, 3) -> (..., 3, 3) sum of outer products, exact f32."""
+    return jnp.sum(x[..., :, :, None] * x[..., :, None, :], axis=-3)
+
+
 def corner_residuals(p_w, nn, d2, q_valid):
     """Point-to-line residuals vs 5-NN PCA lines
     (cornerOptimization, lidar_mapping_node.cpp:1351-1458)."""
     near = d2[:, 4] < 1.0
     c = jnp.mean(nn, axis=1)                  # centroid
     dcm = nn - c[:, None, :]
-    A = jnp.einsum("nki,nkj->nij", dcm, dcm) / 5.0
+    A = _outer_sum(dcm) / 5.0
     w, V = eigh_sym3x3(A)                     # ascending; closed form —
     # jnp.linalg.eigh costs ~2 ms per call at this batch size on TPU
     lam1, lam2 = w[:, 2], w[:, 1]
@@ -91,7 +114,7 @@ def surf_residuals(p_w, nn, d2, q_valid):
     (surfOptimization, lidar_mapping_node.cpp:1460-1521)."""
     near = d2[:, 4] < 1.0
     # solve A n = -1 (plane n·x + 1 = 0) via normal equations
-    AtA = jnp.einsum("nki,nkj->nij", nn, nn)
+    AtA = _outer_sum(nn)
     Atb = -jnp.sum(nn, axis=1)
     n = solve_sym3x3(AtA + 1e-9 * jnp.eye(3, dtype=p_w.dtype), Atb)
     norm = jnp.linalg.norm(n, axis=-1)
@@ -99,10 +122,10 @@ def surf_residuals(p_w, nn, d2, q_valid):
     pa = n / norm_safe[:, None]
     pd = 1.0 / norm_safe
 
-    fit = jnp.abs(jnp.einsum("nki,ni->nk", nn, pa) + pd[:, None])
+    fit = jnp.abs(_dot(nn, pa[:, None, :]) + pd[:, None])
     plane_ok = jnp.all(fit <= 0.2, axis=1)
 
-    pd2 = jnp.einsum("ni,ni->n", p_w, pa) + pd
+    pd2 = _dot(p_w, pa) + pd
     s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(
         jnp.sqrt(jnp.maximum(jnp.linalg.norm(p_w, axis=-1), 1e-12)))
     ok = q_valid & near & plane_ok & (s > 0.1)
@@ -117,10 +140,15 @@ def _gn_normal_eqs(q_pts, coeff, res, ok, q):
     R = so3.quat_to_mat(q)
     coeff = jnp.where(ok[:, None], coeff, 0.0)
     res = jnp.where(ok, res, 0.0)
-    Rp = jnp.einsum("ij,njk->nik", R, so3.skew(q_pts))
-    J_rot = -jnp.einsum("ni,nij->nj", coeff, Rp)
+    # explicit mul+sum throughout (see NOTE above corner_residuals):
+    # Rp[n,i,k] = sum_j R[i,j] skew(p_n)[j,k]
+    sk = so3.skew(q_pts)
+    Rp = jnp.sum(R[None, :, :, None] * sk[:, None, :, :], axis=2)
+    J_rot = -jnp.sum(coeff[:, :, None] * Rp, axis=1)
     J = jnp.concatenate([J_rot, coeff], axis=-1)
-    return J.T @ J, J.T @ (-res), jnp.sum(ok)
+    JtJ = jnp.sum(J[:, :, None] * J[:, None, :], axis=0)
+    Jtr = jnp.sum(J * (-res)[:, None], axis=0)
+    return JtJ, Jtr, jnp.sum(ok)
 
 
 def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
@@ -221,10 +249,12 @@ def scan_to_map_grids(t0, q0, corner_pts, corner_valid, surf_pts, surf_valid,
         def build_proj(_):
             w, V = jnp.linalg.eigh(H)
             keep = (w >= 100.0).astype(dtype)
-            return V @ jnp.diag(keep) @ V.T
+            # V diag(keep) V^T as explicit mul+sum (see contraction NOTE)
+            return jnp.sum((V * keep[None, :])[:, None, :]
+                           * V[None, :, :], axis=2)
 
         proj = jax.lax.cond(it == 0, build_proj, lambda _: proj, None)
-        x = proj @ x
+        x = jnp.sum(proj * x[None, :], axis=1)
 
         q_new = so3.quat_normalize(so3.quat_mul(q, so3.exp_axis(x[0:3])))
         t_new = t + x[3:6]

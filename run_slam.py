@@ -56,6 +56,11 @@ def main():
                          "mean-squared-distance acceptance gate; high IMU "
                          "noise blurs the map and inflates fitness of "
                          "CORRECT alignments past the reference's 0.3)")
+    ap.add_argument("--lc-map", choices=("recent", "radius"), default=None,
+                    help="local-map selection in loop-closure mode: "
+                         "'recent' = last-50 window (the reference), "
+                         "'radius' = 50 m-radius selection (relocalizes "
+                         "against the loop-corrected old map on revisits)")
     ap.add_argument("--loop-rewrite-min", type=float, default=None,
                     help="override loop_rewrite_min_m (implied-correction "
                          "threshold below which an accepted loop edge is "
@@ -142,6 +147,8 @@ def main():
         cfg = cfg.replace(history_keyframe_fitness_score=args.loop_fitness)
     if args.loop_rewrite_min is not None:
         cfg = cfg.replace(loop_rewrite_min_m=args.loop_rewrite_min)
+    if args.lc_map is not None:
+        cfg = cfg.replace(lc_map_mode=args.lc_map)
     if args.pallas:
         cfg = cfg.replace(use_pallas=True, use_pallas_select=True)
     if args.no_pallas_select:

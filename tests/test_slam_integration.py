@@ -206,3 +206,31 @@ class TestWarmup:
     def test_warmup_pallas_path(self):
         slam = LinsSlam(TINY.replace(use_pallas=True), enable_mapping=False)
         slam.warmup(chunk=2)
+
+
+class TestRadiusMapLoopClosure:
+    def test_loop_fires_with_radius_map(self):
+        """lc_map_mode='radius' (round 5): loop closure with the 50 m-radius
+        local-map selection — on a revisit the scan-to-map GN relocalizes
+        against the loop-corrected old map.  The full chain (detect -> ICP
+        -> accept -> solve -> rewrite -> radius-window re-transform +
+        final_solve) must fire and stay finite."""
+        cfg = TINY.replace(loop_time_gate=4.0, lc_map_mode="radius")
+        data = syn.generate_sequence(
+            cfg, n_scans=107, kind="loop", speed=2.2, loop_scale=0.32,
+            acc_noise=0.02, gyr_noise=0.002,
+            ba=(0.05, -0.03, 0.02), bw=(0.002, -0.001, 0.0015))
+        slam = LinsSlam(cfg, corner_cap=256, surf_cap=1024,
+                        map_corner_cap=4096, map_surf_cap=8192)
+        slam.run_replay(data, 107, chunk=12)
+        m = slam.mapper
+        assert int(m.state.n_loops) >= 1, "no loop closed in radius-map mode"
+        m.final_solve()
+        ts, ps, qs = slam.trajectory_arrays()
+        assert np.isfinite(ps).all()
+        assert np.isfinite(np.asarray(m.state.store.pos)).all()
+        R0 = np.asarray(so3.quat_to_mat(jnp.asarray(data["gt_quat"][0],
+                                                    jnp.float64)))
+        ate = ate_rmse(ps, data["gt_pos"][1:1 + len(ps)],
+                       (R0, data["gt_pos"][0]))
+        assert np.isfinite(ate) and ate < 3.0, ate

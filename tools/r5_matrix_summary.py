@@ -26,7 +26,8 @@ def main():
           "loops (applied) | scans/s |")
     print("|---|---|---|---|---|---|---|")
     for course in ("bigloop", "bigloop2", "bigloop3"):
-        for mode in ("odo", "radius", "window", "lc", "lcfrac"):
+        for mode in ("odo", "radius", "window", "lc", "lcrad", "lcfrac",
+                     "lcfit", "lcfitrw", "lcrw15", "lcradfit"):
             s = load(f"{course}_{mode}")
             if s is None:
                 continue
@@ -39,7 +40,8 @@ def main():
     print("\n## regression set\n")
     print("| run | ATE | RPE | ate_kf | loops (applied) | scans/s |")
     print("|---|---|---|---|---|---|")
-    for tag in ("gentle", "turny", "loop", "loop_radius", "hdl64"):
+    for tag in ("gentle", "turny", "loop", "loop_radius", "hdl64",
+                "hdl64b", "hdl64c", "gentle_c32", "loop_c32"):
         s = load(tag)
         if s is None:
             continue
