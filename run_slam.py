@@ -74,6 +74,13 @@ def main():
     ap.add_argument("--full-queries", action="store_true",
                     help="disable the measured-occupancy map_query_* caps "
                          "(A/B isolation)")
+    ap.add_argument("--feature-scale", type=float, default=None,
+                    help="multiply the per-scan feature capacities "
+                         "(max_sharp/less_sharp/flat/less_flat/outlier) and "
+                         "the map_query_* caps by this factor.  The presets "
+                         "size these for 16 rings; 64-beam sensors truncate "
+                         "features at the VLP-16 caps (the HDL-64 drift "
+                         "lever noted in PARITY.md round-5)")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="save state every N scans")
     ap.add_argument("--resume", help="checkpoint file to resume from")
@@ -155,6 +162,21 @@ def main():
         cfg = cfg.replace(use_pallas_select=False)
     if args.full_queries:
         cfg = cfg.replace(map_query_corner=None, map_query_surf=None)
+    if args.feature_scale is not None:
+        def _sc(v):  # scale a capacity, keep it lane-aligned
+            return max(128, int(-(-v * args.feature_scale // 128)) * 128)
+        cfg = cfg.replace(
+            max_sharp=_sc(cfg.max_sharp),
+            max_less_sharp=_sc(cfg.max_less_sharp),
+            max_flat=_sc(cfg.max_flat),
+            max_less_flat=_sc(cfg.max_less_flat),
+            max_outlier=_sc(cfg.max_outlier),
+            map_query_corner=(None if cfg.map_query_corner is None
+                              else _sc(cfg.map_query_corner)),
+            map_query_surf=(None if cfg.map_query_surf is None
+                            else _sc(cfg.map_query_surf)),
+            max_map_corner=_sc(cfg.max_map_corner),
+            max_map_surf=_sc(cfg.max_map_surf))
 
     # ---- load data ----
     if args.synthetic:
